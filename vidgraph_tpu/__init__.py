@@ -1,0 +1,21 @@
+"""vidgraph_tpu — a TPU-native real-time brain-inspired video-memory framework.
+
+Re-implements the capabilities of the reference VidGraph pipeline
+(RaphaelHaddad/Real-Time-Brain-Inspired-Video-Memory) as an idiomatic
+JAX / XLA / Pallas / pjit framework:
+
+* video chunking + on-device frame preprocessing (fused Pallas kernel)
+* vision tower (ViT) + captioner running batched on TPU
+* HBM-resident embedding memory with a fused cosine top-k kernel
+* knowledge-graph construction with two-stage LLM triplet extraction
+* hybrid online/offline retrieval (vector + fulltext + traversal +
+  compression + rerank)
+* network-science graph metrics as XLA linear algebra
+* benchmark evaluation, export/import, CLI, sweep tooling
+
+External contracts (CLI surface, vlm_output.json schema, export format
+v1.0, retrieval/benchmark JSON schemas, YAML config tree) are preserved
+from the reference — see SURVEY.md for the file-level parity map.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,200 @@
+"""Typed configuration tree (YAML -> pydantic).
+
+Mirrors the reference's config surface (reference: src/core/config.py:5-114 and
+config/base_config.yaml) so that reference YAML files load unchanged, and adds
+TPU-native sections (``backend``, ``mesh``, ``graph_store``, ``acs``) that have
+safe offline defaults.  Unknown keys are tolerated (the reference relied on
+pydantic-v1 ``parse_obj`` leniency, e.g. ``max_connection_subgraph`` —
+reference: src/components/pre_llm_injector.py:454).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import yaml
+from pydantic import BaseModel, ConfigDict
+
+
+class _Model(BaseModel):
+    model_config = ConfigDict(extra="allow")
+
+
+class VideoConfig(_Model):
+    chunk_size_seconds: float = 5.0
+    frames_per_chunk: int = 5
+    fps_target: Optional[float] = None
+
+
+class VLMConfig(_Model):
+    endpoint: str = "http://localhost:8078/v1"
+    api_key: str = ""
+    model_name: str = "qwen-vlm"
+    temperature: float = 0.2
+    top_p: float = 0.9
+    max_tokens: int = 2048
+    system_prompt: str = (
+        "You are a helpful assistant that describes video content in detail."
+    )
+    user_prompt_template: str = (
+        "Describe what's happening in these frames from a video."
+    )
+
+
+class LLMInjectorConfig(_Model):
+    endpoint: str = "http://localhost:8078/v1"
+    api_key: str = ""
+    model_name: str = "qwen-vlm"
+    temperature: float = 0.05
+    top_p: float = 0.9
+    max_tokens: int = 8192
+    # When true, pre-extraction runs the chunk<->existing-graph similarity
+    # path and refinement becomes instruction-based (4-op output).
+    subgraph_extraction_injection: bool = False
+
+
+class ChunkingConfig(_Model):
+    enabled: bool = True
+    chunk_size: int = 296
+    chunk_overlap: int = 16
+    max_triplets_per_chunk: int = 6
+    use_sentence_boundaries: bool = True
+    parallel_count: int = 2
+    enable_global_refinement: bool = True
+    refinement_max_tokens: int = 6000
+    global_triplet_limit: int = 15
+    max_new_triplets: int = 10
+    max_inter_chunk_relations: int = 5
+    max_merge_instructions: int = 4
+    max_prune_instructions: int = 4
+    chunk_timeout_seconds: float = 5.0
+    chunk_timeout_retries: int = 3
+    batch_llm_parallelism: bool = False
+    max_connection_subgraph: int = 2
+
+
+class KGConfig(_Model):
+    batch_size: int = 3
+    verbose: bool = False
+    embedding_endpoint: str = "http://localhost:8071/v1"
+    embedding_model: str = "qwen-embedding"
+    embedding_api_key: str = ""
+
+
+class EmbedderConfig(_Model):
+    endpoint: str = "http://localhost:8071/v1"
+    api_key: str = ""
+    model: str = "qwen-embedding"
+    top_k_chunk_with_batch_similarity: int = 3
+    top_k_similar_batch: int = 2
+
+
+class Neo4jConfig(_Model):
+    uri: str = "bolt://localhost:7687"
+    user: str = "neo4j"
+    password: str = "password"
+    database: str = "neo4j"
+
+
+class RetrievalConfig(_Model):
+    use_reranker: bool = True
+    reranker_endpoint: str = "http://localhost:8070/v1/rerank"
+    reranker_api_key: str = ""
+    reranker_model: str = "qwen-reranker"
+    top_k: int = 5
+    top_k_chunks: int = 3
+    top_k_entities: int = 5
+    top_k_relationships: int = 5
+    graph_hops: int = 2
+    post_compression: bool = True
+    compression_threshold: float = 0.15
+    verbose: bool = False
+    entity_first: bool = True
+    rerank_after_traversal: bool = True
+    rerank_entities: bool = True
+    rerank_relationships: bool = True
+
+
+class BenchmarkLLMConfig(_Model):
+    endpoint: str = "http://localhost:8078/v1"
+    api_key: str = ""
+    model_name: str = "qwen-vlm"
+    temperature: float = 0.2
+    top_p: float = 0.9
+    max_tokens: int = 2048
+
+
+# ---------------------------------------------------------------------------
+# TPU-native sections (new in this framework; absent from reference YAMLs, so
+# every field has an offline-safe default).
+# ---------------------------------------------------------------------------
+
+class BackendConfig(_Model):
+    """Which implementation serves each model role.
+
+    ``tpu``   — in-process JAX model on the local device(s)
+    ``http``  — OpenAI-compatible HTTP endpoint (reference behaviour)
+    ``local`` — deterministic, dependency-free fallback (tests / offline)
+    """
+
+    vlm: str = "local"        # captioning: tpu | http | local
+    llm: str = "local"        # triplet extraction/refinement/benchmark LLM
+    embedder: str = "tpu"     # embeddings: tpu | http | hash
+    reranker: str = "tpu"     # rerank: tpu | http | none
+
+
+class MeshConfig(_Model):
+    data_axis: int = 0        # 0 = use all remaining devices
+    model_axis: int = 1
+    axis_names: List[str] = ["data", "model"]
+
+
+class GraphStoreConfig(_Model):
+    backend: str = "embedded"  # embedded | neo4j
+    persist_dir: str = "graph_store"
+    persist: bool = True
+
+
+class ACSConfig(_Model):
+    backend: str = "auto"      # auto | xla | networkx
+    exact_efficiency_max_nodes: int = 500
+    sample_sources: int = 100
+    betweenness_k: int = 100
+    robustness_removal_fraction: float = 0.1
+
+
+class EmbeddingMemoryConfig(_Model):
+    dim: int = 512
+    initial_capacity: int = 4096
+    dtype: str = "float32"
+
+
+class PipelineConfig(_Model):
+    video: VideoConfig = VideoConfig()
+    vlm: VLMConfig = VLMConfig()
+    llm_injector: LLMInjectorConfig = LLMInjectorConfig()
+    chunking: ChunkingConfig = ChunkingConfig()
+    kg: KGConfig = KGConfig()
+    embedder: EmbedderConfig = EmbedderConfig()
+    neo4j: Neo4jConfig = Neo4jConfig()
+    retrieval: RetrievalConfig = RetrievalConfig()
+    benchmark_llm: BenchmarkLLMConfig = BenchmarkLLMConfig()
+    saving_batch_metrics: bool = True
+
+    backend: BackendConfig = BackendConfig()
+    mesh: MeshConfig = MeshConfig()
+    graph_store: GraphStoreConfig = GraphStoreConfig()
+    acs: ACSConfig = ACSConfig()
+    embedding_memory: EmbeddingMemoryConfig = EmbeddingMemoryConfig()
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineConfig":
+        with open(path, "r") as f:
+            raw: Dict[str, Any] = yaml.safe_load(f) or {}
+        return cls.model_validate(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "PipelineConfig":
+        return cls.model_validate(raw or {})
+
+    def to_dict(self) -> Dict[str, Any]:
+        return self.model_dump()

@@ -1,0 +1,141 @@
+"""Fused cosine-similarity scoring + top-k over an HBM-resident store.
+
+This single kernel replaces three hot paths of the reference:
+  * the pure-Python O(new x existing) cosine loop in subgraph injection
+    (reference: src/components/pre_llm_injector.py:346-388),
+  * Neo4j ``vector.similarity.cosine`` chunk search
+    (reference: src/pipeline/retriever_hybrid.py:284-323),
+  * per-segment post-compression scoring
+    (reference: src/pipeline/retriever_hybrid.py:465-514).
+
+Design: store rows are L2-normalised at insert time, so cosine similarity is
+one bf16/f32 matmul on the MXU.  The Pallas kernel tiles the store over a
+grid, normalises the query block once per tile (VPU, cheap), and feeds the
+MXU; invalid (unwritten) rows are masked to -inf outside the kernel (XLA
+fuses the mask into the same HLO).  Top-k uses ``jax.lax.top_k`` on the
+masked scores.
+
+On non-TPU backends (tests run on CPU) a pure-jnp path with identical
+semantics is used.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _score_kernel(q_ref, s_ref, o_ref):
+    """One (query-block, store-tile) program: normalise q, MXU matmul."""
+    q = q_ref[:].astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    qn = q * inv
+    s = s_ref[:].astype(jnp.float32)
+    o_ref[:] = jax.lax.dot_general(
+        qn, s,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _pallas_scores(query: jax.Array, store: jax.Array,
+                   block_n: int = 1024, interpret: bool = False) -> jax.Array:
+    b, d = query.shape
+    n = store.shape[0]
+    bt = _round_up(b, 8)
+    nt = min(_round_up(n, _LANE), block_n)
+    q = jnp.zeros((bt, d), query.dtype).at[:b].set(query)
+    grid = (pl.cdiv(n, nt),)
+    out = pl.pallas_call(
+        _score_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, nt), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, _round_up(n, nt)), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * n * d,
+            bytes_accessed=bt * d * 4 + n * d * store.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, store)
+    return out[:b, :n]
+
+
+def _jnp_scores(query: jax.Array, store: jax.Array) -> jax.Array:
+    q = query.astype(jnp.float32)
+    qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    return qn @ store.astype(jnp.float32).T
+
+
+def cosine_scores(query: jax.Array, store: jax.Array,
+                  valid: Optional[jax.Array] = None,
+                  use_pallas: Optional[bool] = None) -> jax.Array:
+    """Cosine scores of ``query [B,d]`` against pre-normalised ``store [N,d]``.
+
+    ``valid [N]`` bool masks unwritten store rows to -1e30.
+    """
+    if use_pallas is None:
+        use_pallas = query.devices() and all(
+            d.platform == "tpu" for d in query.devices())
+    if store.shape[0] == 0:
+        return jnp.zeros((query.shape[0], 0), jnp.float32)
+    if use_pallas:
+        scores = _pallas_scores(query, store)
+    else:
+        scores = _jnp_scores(query, store)
+    if valid is not None:
+        scores = jnp.where(valid[None, :], scores, _NEG)
+    return scores
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _masked_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    return jax.lax.top_k(scores, k)
+
+
+def cosine_topk(query: jax.Array, store: jax.Array, k: int,
+                valid: Optional[jax.Array] = None,
+                use_pallas: Optional[bool] = None,
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Top-k cosine matches: returns (scores [B,k], indices [B,k]).
+
+    Rows masked invalid come back with score <= -1e30; callers filter on a
+    score threshold (the reference used >0.3 for chunk vector search).
+    """
+    scores = cosine_scores(query, store, valid, use_pallas)
+    n = scores.shape[1]
+    if n == 0:
+        b = scores.shape[0]
+        return (jnp.full((b, k), _NEG, jnp.float32),
+                jnp.zeros((b, k), jnp.int32))
+    kk = min(k, n)
+    vals, idx = _masked_topk(scores, kk)
+    if kk < k:
+        b = scores.shape[0]
+        vals = jnp.concatenate(
+            [vals, jnp.full((b, k - kk), _NEG, jnp.float32)], axis=1)
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((b, k - kk), idx.dtype)], axis=1)
+    return vals, idx
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    x = x.astype(jnp.float32)
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
