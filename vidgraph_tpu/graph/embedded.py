@@ -1,0 +1,645 @@
+"""Embedded in-process graph store with Neo4j-equivalent semantics.
+
+Default backend (no external services needed).  Behavioural parity targets,
+all from the reference's Neo4jHandler:
+
+* MERGE semantics for Entity (key ``name``) / Chunk (key ``id``) nodes and
+  typed relationships, with ``graph_uuid`` multi-tenant isolation
+  (reference: src/components/neo4j_handler.py:164-215).
+* Relationship types are ``relation.replace(' ', '_').upper()`` dynamic
+  labels (reference: src/components/neo4j_handler.py:196).
+* 4-way source-chunk id matching when linking entities to chunks via
+  FROM_CHUNK (full id / short ``batch_chunk`` id / bare index / suffix)
+  (reference: src/components/neo4j_handler.py:256-284).
+* merge / prune / inter-chunk-link operations applied in that order,
+  with APOC-mergeNodes semantics for merges (all relationships rewired,
+  properties combined, ``merged_from`` tracked)
+  (reference: src/components/neo4j_handler.py:451-663).
+* isolated-Entity cleanup that deliberately KEEPS orphan chunks so vector
+  search stays functional (reference: src/components/neo4j_handler.py:665-688).
+* fulltext entity search approximating Lucene scoring over the
+  ``entityName`` index; vector chunk search runs on the device
+  EmbeddingStore (cosine > threshold, top-k) instead of Neo4j
+  ``vector.similarity.cosine``.
+* relationship counts exclude FROM_CHUNK links (they carry no graph_uuid
+  property in the reference, so ``MATCH ()-[r]->() WHERE r.graph_uuid``
+  does not see them); exports INCLUDE them (exporter matches all rels
+  between GraphNodes).
+
+Deviation (documented): export v1.0 writes the chunk id as ``to_node`` of
+FROM_CHUNK relationships where the reference emitted ``null`` (chunks have
+no ``name``), which made those rels unimportable; the importer accepts both.
+
+Persistence: one JSON snapshot per graph_uuid under ``persist_dir`` so
+separate CLI invocations (kg -> retrieve -> export) share state the way the
+reference relied on the Neo4j server for.
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+import re
+import threading
+from collections import defaultdict, deque
+from pathlib import Path
+from time import perf_counter
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..core.logger import get_logger
+from ..memory.embedding_store import EmbeddingStore
+from .base import GraphStore
+
+logger = get_logger("graph_store")
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def rel_label(relation: str) -> str:
+    return relation.replace(" ", "_").upper()
+
+
+def _now_iso() -> str:
+    return _dt.datetime.now(_dt.timezone.utc).isoformat()
+
+
+def _tokens(text: str) -> List[str]:
+    return [t.lower() for t in _TOKEN_RE.findall(text or "")]
+
+
+class EmbeddedGraphStore(GraphStore):
+    def __init__(self, graph_uuid: str,
+                 persist_dir: Optional[str] = "graph_store",
+                 persist: bool = True,
+                 dim: int = 512,
+                 load_existing: bool = True) -> None:
+        self.graph_uuid = graph_uuid
+        self._persist = persist and persist_dir is not None
+        self._persist_path = (Path(persist_dir) / f"{graph_uuid}.json"
+                              if persist_dir else None)
+        self.dim = dim
+
+        self.entities: Dict[str, Dict[str, Any]] = {}
+        self.chunks: Dict[str, Dict[str, Any]] = {}
+        # (head, TYPE, tail) -> props
+        self.rels: Dict[Tuple[str, str, str], Dict[str, Any]] = {}
+        self.from_chunk: Set[Tuple[str, str]] = set()
+        self._adj: Dict[str, Set[Tuple[str, str, str]]] = defaultdict(set)
+        self._chunk_emb = EmbeddingStore(dim=dim)
+        self._lock = threading.RLock()
+
+        if load_existing and self._persist_path and self._persist_path.exists():
+            self._load()
+
+    # ------------------------------------------------------------------ util
+    def _ensure_emb_dim(self, d: int) -> bool:
+        """Adapt the device store to the embedding dim actually seen (e.g.
+        importing a reference export with 1536-d vectors)."""
+        if d == self._chunk_emb.dim:
+            return True
+        if len(self._chunk_emb) == 0:
+            self.dim = d
+            self._chunk_emb = EmbeddingStore(dim=d)
+            return True
+        logger.warning("Embedding dim mismatch: store=%d got=%d — skipping",
+                       self._chunk_emb.dim, d)
+        return False
+
+    def _add_rel_key(self, key: Tuple[str, str, str]) -> None:
+        h, _, t = key
+        self._adj[h].add(key)
+        self._adj[t].add(key)
+
+    def _drop_rel_key(self, key: Tuple[str, str, str]) -> None:
+        h, _, t = key
+        self.rels.pop(key, None)
+        self._adj[h].discard(key)
+        self._adj[t].discard(key)
+
+    # ----------------------------------------------------------- lifecycle
+    def verify_connection(self) -> bool:
+        return True
+
+    def create_indexes(self) -> None:
+        # Indexes (adjacency, fulltext postings, embedding store) are
+        # maintained incrementally; nothing to materialise.
+        return None
+
+    def close(self) -> None:
+        self.save()
+
+    # ---------------------------------------------------------------- writes
+    def merge_entity(self, name: str, batch_time: str, batch_idx: int,
+                     source_chunks: List[str]) -> None:
+        """MERGE (…:Entity {name}) SET created_at/batch_time/batch_id/
+        source_chunks — SET overwrites on re-merge, as in the reference."""
+        name = (name or "").strip()
+        if not name:
+            return
+        node = self.entities.setdefault(name, {"name": name})
+        node["created_at"] = node.get("created_at") or _now_iso()
+        node["batch_time"] = batch_time
+        node["batch_id"] = batch_idx
+        node["source_chunks"] = list(source_chunks or [])
+
+    def merge_relationship(self, head: str, relation: str, tail: str,
+                           batch_idx: int, source_chunks: List[str],
+                           append_sources: bool = False) -> None:
+        key = (head, rel_label(relation), tail)
+        props = self.rels.get(key)
+        if props is None:
+            props = {}
+            self.rels[key] = props
+            self._add_rel_key(key)
+        if append_sources:
+            props["source_chunks"] = list(props.get("source_chunks", [])) + \
+                list(source_chunks or [])
+        else:
+            props["source_chunks"] = list(source_chunks or [])
+        props["batch_id"] = batch_idx
+
+    def merge_chunk(self, chunk_id: str, content: str,
+                    embedding: Optional[Sequence[float]], batch_idx: int,
+                    time: Optional[str] = None,
+                    embedding_model: Optional[str] = None) -> None:
+        node = self.chunks.setdefault(chunk_id, {"id": chunk_id})
+        node["content"] = content
+        node["created_at"] = node.get("created_at") or _now_iso()
+        node["batch_id"] = batch_idx
+        if time is not None:
+            node["time"] = time
+        if embedding is not None:
+            emb = np.asarray(embedding, np.float32)
+            node["embedding"] = [float(x) for x in emb]
+            if embedding_model:
+                node["embedding_model"] = embedding_model
+            if self._ensure_emb_dim(emb.shape[0]):
+                self._chunk_emb.add([chunk_id], emb[None, :])
+
+    def link_from_chunk(self, entity: str, chunk_id: str) -> None:
+        """MERGE (e)-[:FROM_CHUNK]->(c) — only when both endpoints exist
+        (Cypher MATCH semantics)."""
+        if entity in self.entities and chunk_id in self.chunks:
+            self.from_chunk.add((entity, chunk_id))
+
+    @staticmethod
+    def _chunk_matches_sources(chunk_id: str, chunk_index,
+                               source_chunks: List) -> bool:
+        """4-way source-chunk matching (reference:
+        src/components/neo4j_handler.py:256-284)."""
+        sources = [str(s) for s in (source_chunks or [])]
+        if not sources:
+            return False
+        if chunk_id in sources:
+            return True
+        parts = str(chunk_id).split("_")
+        short_id = f"{parts[-2]}_{parts[-1]}" if len(parts) >= 2 else None
+        if short_id and short_id in sources:
+            return True
+        if chunk_index is not None and (
+                str(chunk_index) in sources
+                or chunk_index in (source_chunks or [])):
+            return True
+        for sc in sources:
+            if not sc:
+                continue
+            if chunk_index is not None and sc.endswith(f"_{chunk_index}"):
+                return True
+            if short_id and sc.endswith(f"_{short_id}"):
+                return True
+        return False
+
+    def add_batch_to_graph(self, triplets, batch_data, batch_idx=0,
+                           text_chunks=None, operations=None,
+                           ) -> Dict[str, float]:
+        t0 = perf_counter()
+        timings = {"embedding_time": 0.0, "indexing_time": 0.0,
+                   "graph_injection_time": 0.0}
+        with self._lock:
+            batch_time = (batch_data[-1].get("time", "")
+                          if batch_data else "")
+            inj0 = perf_counter()
+            # 1) triplets -> entities + typed relationship
+            for tr in triplets or []:
+                head = (tr.get("head") or "").strip()
+                relation = (tr.get("relation") or "").strip()
+                tail = (tr.get("tail") or "").strip()
+                sources = tr.get("source_chunks", [])
+                if not head or not relation or not tail:
+                    continue
+                self.merge_entity(head, batch_time, batch_idx, sources)
+                self.merge_entity(tail, batch_time, batch_idx, sources)
+                self.merge_relationship(head, relation, tail, batch_idx,
+                                        sources)
+
+            # 2) chunk nodes (+ FROM_CHUNK links via 4-way id matching)
+            for chunk in text_chunks or []:
+                cid = chunk["id"]
+                cindex = chunk.get("index")
+                if not isinstance(cindex, (int, str)):
+                    cindex = None
+                self.merge_chunk(cid, chunk.get("content", ""),
+                                 chunk.get("embedding"), batch_idx,
+                                 time=chunk.get("time"),
+                                 embedding_model=chunk.get("embedding_model"))
+                for tr in triplets or []:
+                    if not self._chunk_matches_sources(
+                            cid, cindex, tr.get("source_chunks")):
+                        continue
+                    for ent in (tr.get("head"), tr.get("tail")):
+                        if ent:
+                            self.link_from_chunk(ent.strip(), cid)
+
+            # 3) entity.source_chunk_ids += this batch's linked chunk ids
+            batch_chunk_ids = {c["id"] for c in (text_chunks or [])}
+            for ent, cid in self.from_chunk:
+                if cid in batch_chunk_ids and ent in self.entities:
+                    node = self.entities[ent]
+                    existing = list(node.get("source_chunk_ids", []))
+                    if cid not in existing:
+                        existing.append(cid)
+                    node["source_chunk_ids"] = existing
+
+            # 4) operations: merges -> prunes -> inter-chunk links -> cleanup
+            if operations:
+                self._apply_operations(operations, batch_idx)
+
+            timings["graph_injection_time"] = perf_counter() - inj0
+            idx0 = perf_counter()
+            self.create_indexes()
+            timings["indexing_time"] = perf_counter() - idx0
+        if self._persist:
+            self.save()
+        logger.info("Batch %d injected in %.3fs (%d triplets, %d chunks)",
+                    batch_idx, perf_counter() - t0, len(triplets or []),
+                    len(text_chunks or []))
+        return timings
+
+    # ------------------------------------------------------------ operations
+    def _apply_operations(self, operations: Dict[str, Any],
+                          batch_idx: int = 0) -> None:
+        merges = operations.get("merge_instructions") or []
+        inter_links = operations.get("inter_chunk_relations") or []
+        prunes = operations.get("prune_instructions") or []
+
+        for m in merges:
+            local, existing = m.get("local"), m.get("existing")
+            if not local or not existing or local == existing:
+                continue
+            try:
+                self._merge_nodes(local, existing)
+            except Exception as e:  # parity: merges never abort the batch
+                logger.warning("Merge failed %s -> %s: %s", local, existing, e)
+
+        for p in prunes:
+            try:
+                if "entity" in p:
+                    self._prune_entity(p.get("entity"))
+                elif {"head", "relation", "tail"} <= set(p):
+                    self._prune_relationship(p["head"], p["relation"],
+                                             p["tail"])
+                else:
+                    logger.warning("Invalid prune instruction: %s", p)
+            except Exception as e:
+                logger.warning("Prune failed %s: %s", p, e)
+
+        for it in inter_links:
+            try:
+                if len(it) < 3:
+                    continue
+                head, rel, tail = it[0], it[1], it[2]
+                sources = it[3] if len(it) > 3 and isinstance(it[3], list) \
+                    else []
+                # MATCH semantics: both entities must already exist.
+                if head in self.entities and tail in self.entities:
+                    self.merge_relationship(head, rel, tail, batch_idx,
+                                            sources, append_sources=True)
+            except Exception as e:
+                logger.warning("Inter-chunk relation failed %s: %s", it, e)
+
+        self._cleanup_isolated_entities()
+
+    def _merge_nodes(self, local: str, existing: str) -> None:
+        """APOC ``apoc.refactor.mergeNodes`` semantics: rewire all of
+        ``local``'s relationships onto ``existing``, combine properties,
+        delete ``local``."""
+        lnode = self.entities.get(local)
+        enode = self.entities.get(existing)
+        if lnode is None or enode is None:
+            return
+        # rewire typed relationships
+        for key in list(self._adj.get(local, ())):
+            h, typ, t = key
+            props = self.rels.get(key, {})
+            nh = existing if h == local else h
+            nt = existing if t == local else t
+            self._drop_rel_key(key)
+            if nh == nt:
+                continue  # collapse self-loops created by the merge
+            nkey = (nh, typ, nt)
+            if nkey in self.rels:
+                old = self.rels[nkey]
+                old["source_chunks"] = list(old.get("source_chunks", [])) + [
+                    s for s in props.get("source_chunks", [])
+                    if s not in old.get("source_chunks", [])]
+            else:
+                self.rels[nkey] = dict(props)
+                self._add_rel_key(nkey)
+        # rewire FROM_CHUNK + extend source_chunk_ids
+        moved = [(e, c) for (e, c) in self.from_chunk if e == local]
+        for e, c in moved:
+            self.from_chunk.discard((e, c))
+            self.from_chunk.add((existing, c))
+        new_chunks = [c for _, c in moved]
+        if new_chunks:
+            ids = list(enode.get("source_chunk_ids", []))
+            ids += [c for c in new_chunks if c not in ids]
+            enode["source_chunk_ids"] = ids
+        # combine properties: local's override except identity fields
+        for k, v in lnode.items():
+            if k not in ("name", "source_chunk_ids"):
+                enode[k] = v
+        enode["name"] = existing
+        enode["merged_from"] = list(enode.get("merged_from", [])) + [local]
+        enode["updated_at"] = _now_iso()
+        del self.entities[local]
+        self._adj.pop(local, None)
+
+    def _prune_entity(self, name: Optional[str]) -> None:
+        if not name or name not in self.entities:
+            return
+        for key in list(self._adj.get(name, ())):
+            self._drop_rel_key(key)
+        self.from_chunk = {(e, c) for (e, c) in self.from_chunk if e != name}
+        del self.entities[name]
+        self._adj.pop(name, None)
+
+    def _prune_relationship(self, head: str, relation: str,
+                            tail: str) -> None:
+        if not head or not relation or not tail:
+            return
+        typ = rel_label(relation)
+        # undirected match, as in the reference Cypher (h)-[r:T]-(t)
+        for key in ((head, typ, tail), (tail, typ, head)):
+            if key in self.rels:
+                self._drop_rel_key(key)
+
+    def _cleanup_isolated_entities(self) -> None:
+        """DETACH DELETE entities with no relationships at all; chunks are
+        deliberately kept (see module docstring)."""
+        linked = {e for (e, _) in self.from_chunk}
+        drop = [n for n in self.entities
+                if not self._adj.get(n) and n not in linked]
+        for n in drop:
+            del self.entities[n]
+            self._adj.pop(n, None)
+        if drop:
+            logger.info("Cleaned %d isolated Entity nodes", len(drop))
+
+    # ------------------------------------------------------------------ counts
+    def get_node_count(self) -> int:
+        return len(self.entities) + len(self.chunks)
+
+    def get_relationship_count(self) -> int:
+        # FROM_CHUNK links carry no graph_uuid property in the reference, so
+        # its relationship count query does not include them.
+        return len(self.rels)
+
+    def get_chunk_counts(self) -> Dict[str, int]:
+        with_emb = sum(1 for c in self.chunks.values()
+                       if c.get("embedding") is not None)
+        linked = len({c for (_, c) in self.from_chunk})
+        return {"total_chunks": len(self.chunks), "with_embedding": with_emb,
+                "linked_chunks": linked}
+
+    # ------------------------------------------------------------- retrieval
+    def vector_search_chunks(self, query_embedding, top_k: int,
+                             threshold: float = 0.3) -> List[Dict[str, Any]]:
+        q = np.asarray(query_embedding, np.float32)[None, :]
+        hits = self._chunk_emb.search(q, k=top_k, threshold=threshold)[0]
+        out = []
+        for cid, score in hits:
+            c = self.chunks.get(cid)
+            if c is None:
+                continue
+            out.append({"id": cid, "time": c.get("time"),
+                        "content": c.get("content"), "score": score,
+                        "source": "vector"})
+        return out
+
+    def fulltext_search_entities(self, query: str, top_k: int,
+                                 ) -> List[Dict[str, Any]]:
+        """Lucene-flavoured OR-of-terms scoring over entity names (the
+        reference's ``entityName`` fulltext index)."""
+        qtok = _tokens(query)
+        if not qtok or not self.entities:
+            return []
+        # document frequencies over entity-name tokens
+        df: Dict[str, int] = defaultdict(int)
+        name_toks: Dict[str, List[str]] = {}
+        for name in self.entities:
+            toks = _tokens(name)
+            name_toks[name] = toks
+            for t in set(toks):
+                df[t] += 1
+        n_docs = len(self.entities)
+        scored = []
+        for name, toks in name_toks.items():
+            if not toks:
+                continue
+            score = 0.0
+            for qt in qtok:
+                tf = toks.count(qt)
+                if tf:
+                    idf = math.log(1.0 + (n_docs - df[qt] + 0.5)
+                                   / (df[qt] + 0.5))
+                    score += idf * (tf / len(toks)) ** 0.5
+            if score > 0:
+                scored.append((score, name))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return [{"name": name,
+                 "batch_time": self.entities[name].get("batch_time", "") or "",
+                 "score": s, "source": "fulltext"}
+                for s, name in scored[:top_k]]
+
+    def expand_entity_graph_with_chunks(self, entity_names, hops
+                                        ) -> Tuple[List[Dict], List[Dict],
+                                                   List[Dict]]:
+        """Undirected BFS to ``hops``; collects distinct related entities,
+        chunks, and every relationship on a path of length <= hops
+        (i.e. edges with an endpoint at distance <= hops-1)."""
+        ent_seen: Set[Tuple[str, str]] = set()
+        chunk_seen: Set[str] = set()
+        rel_seen: Set[str] = set()
+        for seed in entity_names:
+            if seed not in self.entities:
+                continue
+            dist = {seed: 0}
+            frontier = deque([seed])
+            while frontier:
+                cur = frontier.popleft()
+                d = dist[cur]
+                if d >= hops:
+                    continue
+                # typed relationships
+                for key in self._adj.get(cur, ()):
+                    h, typ, t = key
+                    rel_seen.add(f"{h} -[{typ}]-> {t}")
+                    nxt = t if h == cur else h
+                    if nxt not in dist:
+                        dist[nxt] = d + 1
+                        frontier.append(nxt)
+                        if nxt in self.entities:
+                            bt = self.entities[nxt].get("batch_time", "") or ""
+                            ent_seen.add((nxt, bt))
+                # FROM_CHUNK edges (undirected traversal crosses them too)
+                for (e, c) in self.from_chunk:
+                    if e == cur and c not in dist:
+                        rel_seen.add(f"{e} -[FROM_CHUNK]-> {c}")
+                        dist[c] = d + 1
+                        frontier.append(c)
+                        chunk_seen.add(c)
+                    elif c == cur and e not in dist:
+                        rel_seen.add(f"{e} -[FROM_CHUNK]-> {c}")
+                        dist[e] = d + 1
+                        frontier.append(e)
+                        bt = self.entities.get(e, {}).get("batch_time", "") \
+                            or ""
+                        ent_seen.add((e, bt))
+        entities = [{"name": n, "batch_time": t, "source": "graph_traversal"}
+                    for n, t in ent_seen]
+        chunks = [{"id": c, "content": self.chunks[c].get("content"),
+                   "time": self.chunks[c].get("time"),
+                   "source": "graph_traversal"}
+                  for c in chunk_seen if c in self.chunks]
+        rels = [{"description": d, "source": "graph_traversal"}
+                for d in sorted(rel_seen)]
+        return entities, chunks, rels
+
+    def get_chunk_embeddings(self, limit: int = 5000):
+        ids = self._chunk_emb.ids()[:limit]
+        vecs = self._chunk_emb.vectors()[:limit]
+        return ids, vecs
+
+    # --------------------------------------------------- subgraph context
+    def get_chunk(self, chunk_id: str) -> Optional[Dict[str, Any]]:
+        return self.chunks.get(chunk_id)
+
+    def entities_of_chunk(self, chunk_id: str) -> List[str]:
+        return sorted(e for (e, c) in self.from_chunk if c == chunk_id)
+
+    def relations_of_entity(self, name: str):
+        out = []
+        for key in sorted(self._adj.get(name, ())):
+            h, typ, t = key
+            out.append((h, typ, t, dict(self.rels.get(key, {}))))
+        return out
+
+    # -------------------------------------------------------- export/import
+    def export_data(self) -> Dict[str, Any]:
+        """Export format v1.0 (reference: src/components/
+        graph_exporter.py:61-67)."""
+        nodes = []
+        for name, props in self.entities.items():
+            p = {k: v for k, v in props.items() if k != "graph_uuid"}
+            nodes.append({"name": name, "labels": ["Entity"],
+                          "properties": p})
+        for cid, props in self.chunks.items():
+            p = {k: v for k, v in props.items() if k != "graph_uuid"}
+            nodes.append({"name": None, "labels": ["Chunk"],
+                          "properties": p})
+        relationships = []
+        for (h, typ, t), props in self.rels.items():
+            p = {k: v for k, v in props.items() if k != "graph_uuid"}
+            relationships.append({"type": typ, "from_node": h,
+                                  "to_node": t, "properties": p})
+        for (e, c) in sorted(self.from_chunk):
+            relationships.append({"type": "FROM_CHUNK", "from_node": e,
+                                  "to_node": c, "properties": {}})
+        return {
+            "graph_uuid": self.graph_uuid,
+            "export_timestamp": _now_iso(),
+            "nodes": nodes,
+            "relationships": relationships,
+            "export_format_version": "1.0",
+        }
+
+    def import_data(self, data: Dict[str, Any]) -> None:
+        with self._lock:
+            for node in data.get("nodes", []):
+                labels = node.get("labels", [])
+                props = dict(node.get("properties", {}))
+                if "Chunk" in labels:
+                    cid = props.get("id")
+                    if not cid:
+                        continue
+                    self.chunks[cid] = {**props, "id": cid}
+                    emb = props.get("embedding")
+                    if emb:
+                        arr = np.asarray(emb, np.float32)
+                        if self._ensure_emb_dim(arr.shape[0]):
+                            self._chunk_emb.add([cid], arr[None, :])
+                else:
+                    name = node.get("name") or props.get("name")
+                    if not name:
+                        continue
+                    self.entities[name] = {**props, "name": name}
+            for rel in data.get("relationships", []):
+                typ = rel.get("type")
+                h, t = rel.get("from_node"), rel.get("to_node")
+                if not typ or not h:
+                    continue
+                if typ == "FROM_CHUNK":
+                    if t and h in self.entities and t in self.chunks:
+                        self.from_chunk.add((h, t))
+                    continue
+                if t is None:
+                    continue
+                key = (h, typ, t)
+                self.rels[key] = {k: v for k, v in
+                                  dict(rel.get("properties", {})).items()
+                                  if k != "graph_uuid"}
+                self._add_rel_key(key)
+        if self._persist:
+            self.save()
+
+    # ------------------------------------------------------------ persistence
+    def save(self) -> None:
+        if not self._persist_path:
+            return
+        self._persist_path.parent.mkdir(parents=True, exist_ok=True)
+        snap = {
+            "graph_uuid": self.graph_uuid,
+            "entities": self.entities,
+            "chunks": self.chunks,
+            "rels": [[h, typ, t, props]
+                     for (h, typ, t), props in self.rels.items()],
+            "from_chunk": sorted(self.from_chunk),
+        }
+        tmp = self._persist_path.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        tmp.replace(self._persist_path)
+
+    def _load(self) -> None:
+        with open(self._persist_path) as f:
+            snap = json.load(f)
+        self.entities = snap.get("entities", {})
+        self.chunks = snap.get("chunks", {})
+        for h, typ, t, props in snap.get("rels", []):
+            key = (h, typ, t)
+            self.rels[key] = props
+            self._add_rel_key(key)
+        self.from_chunk = {tuple(x) for x in snap.get("from_chunk", [])}
+        ids, vecs = [], []
+        for cid, c in self.chunks.items():
+            if c.get("embedding"):
+                ids.append(cid)
+                vecs.append(np.asarray(c["embedding"], np.float32))
+        if ids and self._ensure_emb_dim(vecs[0].shape[0]):
+            self._chunk_emb.add(ids, np.stack(vecs))
+        logger.info("Loaded graph %s: %d entities, %d chunks, %d rels",
+                    self.graph_uuid, len(self.entities), len(self.chunks),
+                    len(self.rels))
