@@ -19,3 +19,26 @@ from the reference — see SURVEY.md for the file-level parity map.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-compile costs (which dominate
+    short CLI invocations, especially via remote-compile tunnels) are paid
+    once per kernel shape across all processes."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "VIDGRAPH_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "vidgraph_jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimisation, never a hard dependency
+        pass
+
+
+_enable_compilation_cache()

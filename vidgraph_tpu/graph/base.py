@@ -63,6 +63,20 @@ class GraphStore(abc.ABC):
     def get_chunk_embeddings(self, limit: int = 5000,
                              ) -> Tuple[List[str], Any]: ...
 
+    def similarity_to_chunks(self, vectors) -> Tuple[List[str], Any]:
+        """(chunk_ids, [nq, n_chunks] cosine scores). Default: numpy over
+        get_chunk_embeddings; backends override with a device path."""
+        import numpy as np
+
+        ids, existing = self.get_chunk_embeddings()
+        q = np.atleast_2d(np.asarray(vectors, np.float32))
+        if not ids:
+            return [], np.zeros((q.shape[0], 0), np.float32)
+        qn = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        en = existing / (np.linalg.norm(existing, axis=1, keepdims=True)
+                         + 1e-12)
+        return ids, qn @ en.T
+
     # -- subgraph context (for pre-injection similarity path) -----------------
     @abc.abstractmethod
     def get_chunk(self, chunk_id: str) -> Optional[Dict[str, Any]]: ...

@@ -523,6 +523,15 @@ class EmbeddedGraphStore(GraphStore):
         vecs = self._chunk_emb.vectors()[:limit]
         return ids, vecs
 
+    def similarity_to_chunks(self, vectors) -> Tuple[List[str], Any]:
+        """(chunk_ids, [nq, n_chunks] cosine scores) via the device store —
+        computed on the capacity-padded array so jit shapes stay stable."""
+        ids = self._chunk_emb.ids()
+        if not ids:
+            return [], np.zeros((np.atleast_2d(vectors).shape[0], 0),
+                                np.float32)
+        return ids, self._chunk_emb.similarity_matrix(vectors)
+
     # --------------------------------------------------- subgraph context
     def get_chunk(self, chunk_id: str) -> Optional[Dict[str, Any]]:
         return self.chunks.get(chunk_id)

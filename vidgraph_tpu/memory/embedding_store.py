@@ -7,15 +7,16 @@ src/pipeline/retriever_hybrid.py:284-323), the Python cosine loop over up to
 and per-segment compression scoring (reference: src/pipeline/
 retriever_hybrid.py:465-514).
 
-Rows are L2-normalised at insert and held in a padded ``[capacity, dim]``
-device array (static shape — capacity doubles by reallocation, so XLA sees a
-small number of distinct shapes).  A boolean validity mask handles the
-pad-and-mask discipline; searches run through ops.topk_cosine (Pallas on
-TPU).  String ids are host-side metadata only.
+Write path: rows are L2-normalised into a host-side staging buffer (writes
+are frequent, small, and latency-sensitive on the ingest path — staging
+costs no device compiles).  Read path: the buffer is mirrored to the device
+once per generation as a capacity-padded ``[capacity, dim]`` array (capacity
+doubles, so XLA sees a handful of static shapes) and every search is one
+fused cosine matmul + masked top-k through ops.topk_cosine (Pallas on TPU).
 
-Multi-chip: rows can be sharded along the mesh "data" axis (shard_store);
-each chip scores its shard and top-k is taken after an all-gather of the
-per-shard partials — wired in parallel/mesh.py round 2+.
+Multi-chip: rows can be sharded along the mesh "data" axis; each chip scores
+its shard and top-k is taken after an all-gather of per-shard partials —
+see parallel/mesh.py.
 """
 from __future__ import annotations
 
@@ -26,42 +27,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.topk_cosine import cosine_topk, l2_normalize
+from ..ops.topk_cosine import cosine_topk, cosine_scores
 
 _MIN_CAPACITY = 1024
 
 
 class EmbeddingStore:
-    """Append-only id -> embedding memory living on device."""
+    """Append-mostly id -> embedding memory with device-mirrored search."""
 
     def __init__(self, dim: int, capacity: int = _MIN_CAPACITY,
                  dtype=jnp.float32, device: Optional[jax.Device] = None):
         self.dim = int(dim)
         self.dtype = dtype
         self._device = device
-        capacity = max(_MIN_CAPACITY, int(capacity))
-        self._emb = self._zeros(capacity)
+        cap = _MIN_CAPACITY
+        while cap < capacity:
+            cap *= 2
+        self._host = np.zeros((cap, self.dim), np.float32)
         self._count = 0
         self._ids: List[str] = []
         self._id_to_idx: Dict[str, int] = {}
-        self._lock = threading.Lock()
+        self._mirror: Optional[jax.Array] = None
+        self._mirror_dirty = True
+        self._lock = threading.RLock()
 
     # -- internals ----------------------------------------------------------
-    def _zeros(self, capacity: int) -> jax.Array:
-        z = jnp.zeros((capacity, self.dim), self.dtype)
-        if self._device is not None:
-            z = jax.device_put(z, self._device)
-        return z
-
     def _grow(self, needed: int) -> None:
-        cap = self._emb.shape[0]
+        cap = self._host.shape[0]
+        if needed <= cap:
+            return
         new_cap = cap
         while new_cap < needed:
             new_cap *= 2
-        if new_cap != cap:
-            grown = self._zeros(new_cap)
-            self._emb = jax.lax.dynamic_update_slice(
-                grown, self._emb, (0, 0))
+        grown = np.zeros((new_cap, self.dim), np.float32)
+        grown[:self._count] = self._host[:self._count]
+        self._host = grown
+        self._mirror_dirty = True
+
+    def _device_store(self) -> jax.Array:
+        if self._mirror_dirty or self._mirror is None:
+            arr = jnp.asarray(self._host, self.dtype)
+            if self._device is not None:
+                arr = jax.device_put(arr, self._device)
+            self._mirror = arr
+            self._mirror_dirty = False
+        return self._mirror
 
     # -- public -------------------------------------------------------------
     def __len__(self) -> int:
@@ -69,22 +79,22 @@ class EmbeddingStore:
 
     @property
     def capacity(self) -> int:
-        return int(self._emb.shape[0])
+        return int(self._host.shape[0])
 
     def add(self, ids: Sequence[str], vectors: np.ndarray) -> None:
-        """Insert/overwrite rows. ``vectors [n, dim]`` need not be normalised."""
+        """Insert/overwrite rows. ``vectors [n, dim]`` need not be
+        normalised."""
         if len(ids) == 0:
             return
         vecs = np.asarray(vectors, np.float32)
         if vecs.shape != (len(ids), self.dim):
             raise ValueError(f"vectors shape {vecs.shape} != "
                              f"({len(ids)}, {self.dim})")
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        normed = vecs / np.maximum(norms, 1e-12)
         with self._lock:
-            new_ids = [i for i in ids if i not in self._id_to_idx]
-            self._grow(self._count + len(new_ids))
-            normed = np.asarray(l2_normalize(jnp.asarray(vecs)))
-            # Group contiguous appends into one device update.
-            append_rows = []
+            new = sum(1 for i in ids if i not in self._id_to_idx)
+            self._grow(self._count + new)
             for rid, v in zip(ids, normed):
                 idx = self._id_to_idx.get(rid)
                 if idx is None:
@@ -92,29 +102,21 @@ class EmbeddingStore:
                     self._id_to_idx[rid] = idx
                     self._ids.append(rid)
                     self._count += 1
-                    append_rows.append(v)
-                else:  # overwrite existing row in place
-                    self._emb = self._emb.at[idx].set(
-                        jnp.asarray(v, self.dtype))
-            if append_rows:
-                block = jnp.asarray(np.stack(append_rows), self.dtype)
-                self._emb = jax.lax.dynamic_update_slice(
-                    self._emb, block, (self._count - len(append_rows), 0))
+                self._host[idx] = v
+            self._mirror_dirty = True
 
     def get(self, rid: str) -> Optional[np.ndarray]:
         idx = self._id_to_idx.get(rid)
         if idx is None:
             return None
-        return np.asarray(self._emb[idx], np.float32)
+        return self._host[idx].copy()
 
     def ids(self) -> List[str]:
         return list(self._ids)
 
     def vectors(self) -> np.ndarray:
-        """[count, dim] materialised on host (for persistence/tests)."""
-        if self._count == 0:
-            return np.zeros((0, self.dim), np.float32)
-        return np.asarray(self._emb[:self._count], np.float32)
+        """[count, dim] host view (normalised rows)."""
+        return self._host[:self._count].copy()
 
     def search(self, queries: np.ndarray, k: int,
                threshold: Optional[float] = None,
@@ -123,9 +125,12 @@ class EmbeddingStore:
         q = np.atleast_2d(np.asarray(queries, np.float32))
         if self._count == 0:
             return [[] for _ in range(q.shape[0])]
-        valid = jnp.arange(self.capacity) < self._count
-        kk = min(k, self._count)
-        vals, idx = cosine_topk(jnp.asarray(q), self._emb, k=kk, valid=valid)
+        with self._lock:
+            store = self._device_store()
+            count = self._count
+        valid = jnp.arange(self.capacity) < count
+        kk = min(k, count)
+        vals, idx = cosine_topk(jnp.asarray(q), store, k=kk, valid=valid)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         out: List[List[Tuple[str, float]]] = []
@@ -142,14 +147,16 @@ class EmbeddingStore:
         return out
 
     def similarity_matrix(self, queries: np.ndarray) -> np.ndarray:
-        """Dense [nq, count] cosine scores (device matmul, host fetch)."""
-        from ..ops.topk_cosine import cosine_scores
+        """Dense [nq, count] cosine scores (one device matmul)."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
         if self._count == 0:
             return np.zeros((q.shape[0], 0), np.float32)
-        valid = jnp.arange(self.capacity) < self._count
-        s = cosine_scores(jnp.asarray(q), self._emb, valid)
-        return np.asarray(s[:, :self._count])
+        with self._lock:
+            store = self._device_store()
+            count = self._count
+        valid = jnp.arange(self.capacity) < count
+        s = cosine_scores(jnp.asarray(q), store, valid)
+        return np.asarray(s[:, :count])
 
     # -- persistence ---------------------------------------------------------
     def state_dict(self) -> Dict:

@@ -72,11 +72,22 @@ class HashedNGramEmbedder:
         return l2_normalize(counts @ self._proj)
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:
-        """[N] texts -> [N, dim] float32 L2-normalised embeddings."""
+        """[N] texts -> [N, dim] float32 L2-normalised embeddings.
+
+        The batch is padded to the next power of two so XLA compiles a
+        handful of shapes instead of one per distinct batch size."""
         if not texts:
             return np.zeros((0, self.dim), np.float32)
         counts = np.stack([_ngram_hashes(t, self.n_buckets) for t in texts])
-        return np.asarray(self._embed_jit(jnp.asarray(counts)))
+        n = counts.shape[0]
+        padded = 8
+        while padded < n:
+            padded *= 2
+        if padded != n:
+            counts = np.concatenate(
+                [counts, np.zeros((padded - n, self.n_buckets), np.float32)])
+        out = np.asarray(self._embed_jit(jnp.asarray(counts)))
+        return out[:n]
 
     def embed_query(self, text: str) -> np.ndarray:
         return self.embed([text])[0]

@@ -84,22 +84,38 @@ def _jnp_scores(query: jax.Array, store: jax.Array) -> jax.Array:
     return qn @ store.astype(jnp.float32).T
 
 
+def _bucket_rows(n: int) -> int:
+    """Next power of two >= max(8, n): bounds the number of distinct jit
+    shapes (remote compiles are expensive)."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
 def cosine_scores(query: jax.Array, store: jax.Array,
                   valid: Optional[jax.Array] = None,
                   use_pallas: Optional[bool] = None) -> jax.Array:
     """Cosine scores of ``query [B,d]`` against pre-normalised ``store [N,d]``.
 
-    ``valid [N]`` bool masks unwritten store rows to -1e30.
+    ``valid [N]`` bool masks unwritten store rows to -1e30.  The query batch
+    is padded to a power-of-two row bucket to bound compile count.
     """
     if use_pallas is None:
         use_pallas = query.devices() and all(
             d.platform == "tpu" for d in query.devices())
     if store.shape[0] == 0:
         return jnp.zeros((query.shape[0], 0), jnp.float32)
+    b = query.shape[0]
+    bb = _bucket_rows(b)
+    if bb != b:
+        query = jnp.concatenate(
+            [query, jnp.zeros((bb - b, query.shape[1]), query.dtype)])
     if use_pallas:
         scores = _pallas_scores(query, store)
     else:
         scores = _jnp_scores(query, store)
+    scores = scores[:b]
     if valid is not None:
         scores = jnp.where(valid[None, :], scores, _NEG)
     return scores

@@ -1,0 +1,189 @@
+"""VLM captioning clients — the stage that turns a chunk of frames into text.
+
+* ``TPUVLMClient`` — frames -> fused preprocessing -> ViT vision tower ->
+  captioner greedy decode, all on device, batched per chunk.  Replaces the
+  reference's per-chunk HTTP round trip (reference:
+  src/pipeline/vlm_extractor.py:121-192).
+* ``HttpVLMClient`` — the reference-compatible OpenAI multi-image
+  chat-completions call (JPEG-85 base64 frames, 3 retries, linear backoff).
+* ``LocalVLMClient`` — deterministic caption synthesised from frame
+  statistics (dominant hue, brightness, motion) so the full pipeline runs
+  and is assertable offline.
+"""
+from __future__ import annotations
+
+import asyncio
+import base64
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..core.logger import get_logger
+
+logger = get_logger("vlm_client")
+
+
+class VLMClient:
+    async def caption(self, frames: Sequence[np.ndarray],
+                      system_prompt: str = "",
+                      user_prompt: str = "") -> str:
+        raise NotImplementedError
+
+
+class TPUVLMClient(VLMClient):
+    def __init__(self, vit_cfg=None, cap_cfg=None, seed: int = 0,
+                 max_new: int = 256) -> None:
+        import jax
+
+        from ..models.captioner import CaptionerConfig, init_params
+        from ..models.vit import ViTConfig, init_vision_tower
+
+        self.vit_cfg = vit_cfg or ViTConfig.b32()
+        self.cap_cfg = cap_cfg or CaptionerConfig.base()
+        self.vit, self.vit_params = init_vision_tower(self.vit_cfg, seed)
+        self.cap_params = init_params(self.cap_cfg, seed)
+        self.max_new = max_new
+        self._vit_apply = jax.jit(self.vit.apply)
+
+    async def caption(self, frames, system_prompt="", user_prompt="") -> str:
+        return await asyncio.to_thread(self.caption_sync, list(frames))
+
+    def caption_sync(self, frames: List[np.ndarray]) -> str:
+        import jax.numpy as jnp
+
+        from ..models import tokenizer
+        from ..models.captioner import generate
+        from ..ops.preprocess import preprocess_frames
+
+        stack = np.stack(frames).astype(np.uint8)
+        x = preprocess_frames(jnp.asarray(stack), size=self.vit_cfg.image_size)
+        emb = self._vit_apply(self.vit_params, x)      # [n_frames, d]
+        nv = self.cap_cfg.num_vision_tokens
+        n = emb.shape[0]
+        if n >= nv:
+            vis = emb[:nv][None]
+        else:  # tile frames into the prefix slots
+            reps = -(-nv // n)
+            vis = jnp.tile(emb, (reps, 1))[:nv][None]
+        toks = generate(self.cap_params, self.cap_cfg, vis,
+                        max_new=self.max_new)
+        return tokenizer.decode(np.asarray(toks)[0])
+
+
+class HttpVLMClient(VLMClient):
+    def __init__(self, endpoint: str, model: str, api_key: str = "",
+                 temperature: float = 0.2, top_p: float = 0.9,
+                 max_tokens: int = 2048, timeout: float = 180.0,
+                 retries: int = 3, jpeg_quality: int = 85) -> None:
+        self.endpoint = endpoint.rstrip("/")
+        if not self.endpoint.endswith("/chat/completions"):
+            self.endpoint += "/chat/completions"
+        self.model = model
+        self.api_key = api_key
+        self.temperature = temperature
+        self.top_p = top_p
+        self.max_tokens = max_tokens
+        self.timeout = timeout
+        self.retries = retries
+        self.jpeg_quality = jpeg_quality
+
+    @staticmethod
+    def _to_b64_jpeg(frame: np.ndarray, quality: int) -> str:
+        import cv2
+
+        ok, buf = cv2.imencode(".jpg", frame,
+                               [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+        if not ok:
+            raise ValueError("JPEG encoding failed")
+        return base64.b64encode(buf.tobytes()).decode("ascii")
+
+    async def caption(self, frames, system_prompt="", user_prompt="") -> str:
+        import httpx
+
+        content = [{"type": "text", "text": user_prompt or
+                    "Describe what's happening in these frames from a video."}]
+        for f in frames:
+            b64 = self._to_b64_jpeg(np.asarray(f), self.jpeg_quality)
+            content.append({
+                "type": "image_url",
+                "image_url": {"url": f"data:image/jpeg;base64,{b64}"},
+            })
+        messages = []
+        if system_prompt:
+            messages.append({"role": "system", "content": system_prompt})
+        messages.append({"role": "user", "content": content})
+        payload = {"model": self.model, "messages": messages,
+                   "temperature": self.temperature, "top_p": self.top_p,
+                   "max_tokens": self.max_tokens}
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        last: Optional[Exception] = None
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            for attempt in range(self.retries):
+                try:
+                    r = await client.post(self.endpoint, json=payload,
+                                          headers=headers)
+                    r.raise_for_status()
+                    return r.json()["choices"][0]["message"]["content"]
+                except Exception as e:
+                    last = e
+                    logger.warning("VLM attempt %d failed: %s",
+                                   attempt + 1, e)
+                    await asyncio.sleep(1.0 * (attempt + 1))
+        raise RuntimeError(f"VLM captioning failed: {last}")
+
+
+_HUES = [(0, "red"), (30, "orange"), (60, "yellow"), (120, "green"),
+         (180, "cyan"), (240, "blue"), (300, "magenta"), (360, "red")]
+
+
+def _dominant_color(frame: np.ndarray) -> str:
+    f = frame.astype(np.float32) / 255.0
+    r, g, b = f[..., 0].mean(), f[..., 1].mean(), f[..., 2].mean()
+    mx, mn = max(r, g, b), min(r, g, b)
+    if mx - mn < 0.08:
+        v = (r + g + b) / 3
+        return "white" if v > 0.7 else ("black" if v < 0.2 else "gray")
+    if mx == r:
+        h = 60 * (((g - b) / (mx - mn)) % 6)
+    elif mx == g:
+        h = 60 * ((b - r) / (mx - mn) + 2)
+    else:
+        h = 60 * ((r - g) / (mx - mn) + 4)
+    return min(_HUES, key=lambda hv: abs(hv[0] - h))[1]
+
+
+class LocalVLMClient(VLMClient):
+    """Deterministic frame-statistics captioner for offline runs/tests."""
+
+    async def caption(self, frames, system_prompt="", user_prompt="") -> str:
+        frames = [np.asarray(f) for f in frames]
+        color = _dominant_color(frames[0])
+        brightness = float(np.mean([f.mean() for f in frames]) / 255.0)
+        motion = 0.0
+        if len(frames) > 1:
+            diffs = [np.abs(frames[i + 1].astype(np.int16)
+                            - frames[i].astype(np.int16)).mean()
+                     for i in range(len(frames) - 1)]
+            motion = float(np.mean(diffs) / 255.0)
+        level = "bright" if brightness > 0.6 else (
+            "dark" if brightness < 0.25 else "evenly lit")
+        activity = "rapid movement" if motion > 0.08 else (
+            "slight movement" if motion > 0.01 else "a static scene")
+        return (f"The scene shows a {color} object on a {level} background. "
+                f"The frames contain {activity}. A {color} shape dominates "
+                f"the view across {len(frames)} frames.")
+
+
+def make_vlm_client(kind: str, vlm_config=None) -> VLMClient:
+    if kind == "tpu":
+        return TPUVLMClient()
+    if kind == "local":
+        return LocalVLMClient()
+    if kind == "http":
+        c = vlm_config
+        return HttpVLMClient(c.endpoint, c.model_name, c.api_key,
+                             temperature=c.temperature, top_p=c.top_p,
+                             max_tokens=c.max_tokens)
+    raise ValueError(f"unknown vlm backend: {kind}")
