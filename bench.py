@@ -1,0 +1,175 @@
+"""Benchmark: online hybrid-retrieval latency on a reference-scale graph.
+
+Builds a graph of the same scale as the reference's committed MVP run
+(~600 entities, 326 chunks, ~1.6k relationships — BASELINE.md) with
+device-resident chunk embeddings, then measures end-to-end hybrid
+retrieval latency (query embedding -> fused cosine top-k vector search ->
+fulltext entity search -> 2-hop traversal -> post-compression -> rerank ->
+formatting) at the shipped retrieval settings.
+
+Baseline: the reference measured 2.392 s/query average offline retrieval
+(BASELINE.md, data/metrics/mvp_retrieval_times_*.json).  vs_baseline is the
+speedup factor (baseline_ms / p50_ms).
+
+Prints ONE JSON line:
+{"metric": "online_retrieval_p50_ms", "value": N, "unit": "ms",
+ "vs_baseline": N, ...extras}
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import random
+import statistics
+import tempfile
+import time
+
+BASELINE_RETRIEVAL_MS = 2392.2  # reference avg offline retrieval (MVP run)
+
+N_ENTITIES = 600
+N_CHUNKS = 326
+N_RELS = 1600
+N_QUERIES = 30
+WARMUP = 5
+
+_OBJECTS = ["beaker", "flask", "balance", "smartphone", "glove", "pipette",
+            "table", "cabinet", "bottle", "notebook", "monitor", "wire",
+            "foil", "extinguisher", "door", "scale", "tray", "goggles"]
+_COLORS = ["red", "blue", "green", "yellow", "white", "black", "gray",
+           "cyan", "magenta", "orange"]
+_VERBS = ["holds", "contains", "displays", "is on", "is near", "uses",
+          "wears", "touches", "observes", "supports"]
+
+
+def _build_graph(store, embedder, rng: random.Random) -> None:
+    entities = [f"{rng.choice(_COLORS).title()} "
+                f"{rng.choice(_OBJECTS).title()} {i}"
+                for i in range(N_ENTITIES)]
+    texts, chunk_specs = [], []
+    for i in range(N_CHUNKS):
+        color = rng.choice(_COLORS)
+        obj = rng.choice(_OBJECTS)
+        verb = rng.choice(_VERBS)
+        text = (f"Time: {i // 12:02d}:{(i * 5) % 60:02d} Content: the person "
+                f"{verb} a {color} {obj} on the laboratory bench while a "
+                f"{rng.choice(_COLORS)} {rng.choice(_OBJECTS)} sits nearby.")
+        texts.append(text)
+        chunk_specs.append((f"bench_{i // 3}_{i % 3}", text, i))
+    embs = embedder.embed(texts)
+
+    batch = [{"time": "00:00-00:04", "content": "bench"}]
+    triplets, chunks = [], []
+    for i, (cid, text, idx) in enumerate(chunk_specs):
+        chunks.append({"id": cid, "content": text, "index": idx % 3,
+                       "embedding": [float(x) for x in embs[i]],
+                       "time": f"{(idx*5)//60:02d}:{(idx*5)%60:02d}-"
+                               f"{(idx*5+4)//60:02d}:{(idx*5+4)%60:02d}"})
+    for j in range(N_RELS):
+        h = entities[rng.randrange(N_ENTITIES)]
+        t = entities[rng.randrange(N_ENTITIES)]
+        if h == t:
+            continue
+        src = chunk_specs[rng.randrange(N_CHUNKS)][0]
+        triplets.append({"head": h, "relation": rng.choice(_VERBS),
+                         "tail": t, "source_chunks": [src]})
+    # inject in reference-sized batches
+    bs_t, bs_c = 25, 6
+    n_batches = max(len(triplets) // bs_t, len(chunks) // bs_c) + 1
+    for b in range(n_batches):
+        store.add_batch_to_graph(
+            triplets[b * bs_t:(b + 1) * bs_t], batch, b,
+            text_chunks=chunks[b * bs_c:(b + 1) * bs_c])
+
+
+def main() -> None:
+    from vidgraph_tpu.core.config import PipelineConfig
+    from vidgraph_tpu.graph.embedded import EmbeddedGraphStore
+    from vidgraph_tpu.pipeline.retriever_hybrid import HybridRetriever
+    from vidgraph_tpu.services.embed_client import make_embed_client
+    from vidgraph_tpu.services.rerank_client import make_rerank_client
+
+    rng = random.Random(42)
+    cfg = PipelineConfig()
+    cfg.retrieval.entity_first = False      # exercise the vector path
+    cfg.retrieval.post_compression = True
+    cfg.retrieval.rerank_after_traversal = True
+
+    embedder = make_embed_client("tpu", dim=cfg.embedding_memory.dim)
+    reranker = make_rerank_client("tpu", embed_client=embedder)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = EmbeddedGraphStore("bench", persist_dir=tmp, persist=False)
+        t0 = time.perf_counter()
+        _build_graph(store, embedder, rng)
+        build_s = time.perf_counter() - t0
+
+        retriever = HybridRetriever(cfg.retrieval, store, embedder,
+                                    reranker, output_file=None)
+        queries = [
+            f"What color is the {rng.choice(_OBJECTS)} "
+            f"{rng.choice(['on the bench', 'in the lab', 'nearby'])}?"
+            for _ in range(N_QUERIES)]
+
+        async def run_all():
+            for q in queries[:WARMUP]:
+                await retriever.perform_hybrid_retrieval(q)
+            times = []
+            for q in queries:
+                t = time.perf_counter()
+                text, _ = await retriever.perform_hybrid_retrieval(q)
+                times.append((time.perf_counter() - t) * 1e3)
+                assert text
+            return times
+
+        times = asyncio.run(run_all())
+
+    times.sort()
+    p50 = statistics.median(times)
+    p95 = times[int(0.95 * (len(times) - 1))]
+
+    # secondary: frames/sec/chip through preprocess + ViT-B/32 embed
+    fps = _frames_per_second()
+
+    print(json.dumps({
+        "metric": "online_retrieval_p50_ms",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_RETRIEVAL_MS / p50, 1),
+        "p95_ms": round(p95, 3),
+        "mean_ms": round(statistics.mean(times), 3),
+        "graph": {"entities": N_ENTITIES, "chunks": N_CHUNKS,
+                  "rels": N_RELS, "build_s": round(build_s, 2)},
+        "frames_per_sec_chip": round(fps, 1),
+        "baseline_retrieval_ms": BASELINE_RETRIEVAL_MS,
+    }))
+
+
+def _frames_per_second() -> float:
+    """Decode-free device throughput: preprocess + ViT-B/32 embed of 40
+    frames/step (8 chunks x 5 frames, the reference's chunk shape)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidgraph_tpu.models.vit import ViTConfig, init_vision_tower
+    from vidgraph_tpu.ops.preprocess import preprocess_frames
+
+    cfg = ViTConfig.b32()
+    model, params = init_vision_tower(cfg, seed=0)
+    apply = jax.jit(lambda p, f: model.apply(
+        p, preprocess_frames(f, size=cfg.image_size)))
+    frames = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(40, 720, 1280, 3), dtype=np.uint8))
+    np.asarray(apply(params, frames))  # compile + warmup
+    reps = 10
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = apply(params, frames)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    return 40 * reps / dt
+
+
+if __name__ == "__main__":
+    main()

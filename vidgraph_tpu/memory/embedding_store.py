@@ -31,6 +31,11 @@ from ..ops.topk_cosine import cosine_topk, cosine_scores
 
 _MIN_CAPACITY = 1024
 
+# Below this many rows a search runs as a host BLAS matmul: one device
+# dispatch costs a fixed round trip that only amortises once the store is
+# large (the device path over 100k x 512 measures ~0.5 ms of compute).
+_DEVICE_MIN_ROWS = 8192
+
 
 class EmbeddingStore:
     """Append-mostly id -> embedding memory with device-mirrored search."""
@@ -125,14 +130,20 @@ class EmbeddingStore:
         q = np.atleast_2d(np.asarray(queries, np.float32))
         if self._count == 0:
             return [[] for _ in range(q.shape[0])]
-        with self._lock:
-            store = self._device_store()
-            count = self._count
-        valid = jnp.arange(self.capacity) < count
-        kk = min(k, count)
-        vals, idx = cosine_topk(jnp.asarray(q), store, k=kk, valid=valid)
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
+        kk = min(k, self._count)
+        if self._count < _DEVICE_MIN_ROWS:
+            scores = self._host_scores(q)
+            idx = np.argsort(-scores, axis=1)[:, :kk]
+            vals = np.take_along_axis(scores, idx, axis=1)
+        else:
+            with self._lock:
+                store = self._device_store()
+                count = self._count
+            valid = jnp.arange(self.capacity) < count
+            vals, idx = cosine_topk(jnp.asarray(q), store, k=kk,
+                                    valid=valid)
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
         out: List[List[Tuple[str, float]]] = []
         for r in range(q.shape[0]):
             row = []
@@ -146,11 +157,19 @@ class EmbeddingStore:
             out.append(row)
         return out
 
+    def _host_scores(self, q: np.ndarray) -> np.ndarray:
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        with self._lock:
+            return qn @ self._host[:self._count].T
+
     def similarity_matrix(self, queries: np.ndarray) -> np.ndarray:
-        """Dense [nq, count] cosine scores (one device matmul)."""
+        """Dense [nq, count] cosine scores (one matmul; host below the
+        device-rows threshold)."""
         q = np.atleast_2d(np.asarray(queries, np.float32))
         if self._count == 0:
             return np.zeros((q.shape[0], 0), np.float32)
+        if self._count < _DEVICE_MIN_ROWS:
+            return self._host_scores(q)
         with self._lock:
             store = self._device_store()
             count = self._count

@@ -60,34 +60,65 @@ class HashedNGramEmbedder:
     dim: int = 512
     n_buckets: int = 4096
     seed: int = 42
+    # Below this many uncached texts the projection runs as a host BLAS
+    # matmul: a device dispatch costs a fixed round trip (~25 ms through a
+    # tunnelled chip, ~0.2 ms host-attached) that only amortises on large
+    # batches.  Recurring texts (entity names, relationship descriptions on
+    # the rerank path) are served from the cache with no compute at all.
+    device_min_batch: int = 256
+    cache_max: int = 200_000
 
     def __post_init__(self) -> None:
         rng = np.random.default_rng(self.seed)
         proj = rng.normal(0.0, 1.0 / np.sqrt(self.dim),
                           size=(self.n_buckets, self.dim)).astype(np.float32)
+        self._proj_host = proj
         self._proj = jnp.asarray(proj)
         self._embed_jit = jax.jit(self._device_embed)
+        self._cache: dict = {}
 
     def _device_embed(self, counts: jax.Array) -> jax.Array:
         return l2_normalize(counts @ self._proj)
 
-    def embed(self, texts: Sequence[str]) -> np.ndarray:
-        """[N] texts -> [N, dim] float32 L2-normalised embeddings.
+    def _project(self, counts: np.ndarray) -> np.ndarray:
+        n = counts.shape[0]
+        if n >= self.device_min_batch:
+            padded = 8
+            while padded < n:
+                padded *= 2
+            if padded != n:
+                counts = np.concatenate(
+                    [counts,
+                     np.zeros((padded - n, self.n_buckets), np.float32)])
+            return np.asarray(self._embed_jit(jnp.asarray(counts)))[:n]
+        out = counts @ self._proj_host
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(norms, 1e-12)
 
-        The batch is padded to the next power of two so XLA compiles a
-        handful of shapes instead of one per distinct batch size."""
+    def embed(self, texts: Sequence[str]) -> np.ndarray:
+        """[N] texts -> [N, dim] float32 L2-normalised embeddings (cached)."""
         if not texts:
             return np.zeros((0, self.dim), np.float32)
-        counts = np.stack([_ngram_hashes(t, self.n_buckets) for t in texts])
-        n = counts.shape[0]
-        padded = 8
-        while padded < n:
-            padded *= 2
-        if padded != n:
-            counts = np.concatenate(
-                [counts, np.zeros((padded - n, self.n_buckets), np.float32)])
-        out = np.asarray(self._embed_jit(jnp.asarray(counts)))
-        return out[:n]
+        out = np.empty((len(texts), self.dim), np.float32)
+        missing_idx = []
+        missing_texts = []
+        for i, t in enumerate(texts):
+            hit = self._cache.get(t)
+            if hit is not None:
+                out[i] = hit
+            else:
+                missing_idx.append(i)
+                missing_texts.append(t)
+        if missing_texts:
+            counts = np.stack([_ngram_hashes(t, self.n_buckets)
+                               for t in missing_texts])
+            vecs = self._project(counts)
+            if len(self._cache) + len(missing_texts) > self.cache_max:
+                self._cache.clear()
+            for i, t, v in zip(missing_idx, missing_texts, vecs):
+                out[i] = v
+                self._cache[t] = v
+        return out
 
     def embed_query(self, text: str) -> np.ndarray:
         return self.embed([text])[0]
