@@ -170,6 +170,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", required=True)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+
+    p = sub.add_parser("prune", help="Prune redundant relations in an "
+                                     "exported graph JSON")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--threshold", type=float, default=0.8)
     return parser
 
 
@@ -224,6 +230,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         result = asyncio.run(run_benchmark(args.config, args.input,
                                            args.output))
         print(f"Benchmark evaluation completed: {result}")
+    elif args.command == "prune":
+        from ..pipeline.prune import prune_export_file
+
+        result = prune_export_file(args.input, args.output, args.threshold)
+        print(f"Graph pruning completed: {result}")
     else:
         parser.print_help()
         return 1
