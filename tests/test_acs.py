@@ -1,0 +1,74 @@
+"""ACS metrics: XLA linear-algebra backend must agree with NetworkX."""
+import numpy as np
+import pytest
+
+from vidgraph_tpu.core.config import ACSConfig
+from vidgraph_tpu.graph.embedded import EmbeddedGraphStore
+from vidgraph_tpu.pipeline.acs import ACSAutomata
+
+
+def _random_store(n_entities=40, n_rels=80, seed=0):
+    rng = np.random.default_rng(seed)
+    s = EmbeddedGraphStore("acs", persist_dir=None, persist=False, dim=8)
+    names = [f"E{i}" for i in range(n_entities)]
+    batch = [{"time": "00:00-00:04", "content": "x"}]
+    trips = []
+    for _ in range(n_rels):
+        h, t = rng.choice(names, 2, replace=False)
+        trips.append({"head": h, "relation": f"r{rng.integers(3)}",
+                      "tail": t, "source_chunks": ["acs_0_0"]})
+    chunks = [{"id": "acs_0_0", "content": "x", "index": 0,
+               "embedding": [1.0] * 8}]
+    s.add_batch_to_graph(trips, batch, 0, text_chunks=chunks)
+    return s
+
+
+def test_metric_names_match_reference_schema():
+    s = _random_store()
+    m = ACSAutomata(s, ACSConfig(backend="networkx")).update_metrics()
+    expected = {"node_count", "relationship_count", "density", "avg_degree",
+                "avg_unique_neighbors", "global_efficiency",
+                "avg_path_length", "avg_degree_centrality",
+                "max_degree_centrality", "avg_betweenness_centrality",
+                "max_betweenness_centrality", "degree_assortativity",
+                "graph_robustness", "diameter_estimate",
+                "clustering_coefficient", "weakly_connected_components",
+                "largest_wcc_size", "pagerank_top10_percent",
+                "louvain_communities", "louvain_modularity",
+                "label_entropy", "computational_time"}
+    assert expected <= set(m)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_xla_matches_networkx(seed):
+    s = _random_store(seed=seed)
+    nx_m = ACSAutomata(s, ACSConfig(backend="networkx")).update_metrics()
+    xla_m = ACSAutomata(s, ACSConfig(backend="xla")).update_metrics()
+    # distance-family + pagerank metrics computed by XLA must agree with
+    # the exact NetworkX values (graph is <500 nodes, so nx is exact too)
+    for key, tol in [("global_efficiency", 1e-3),
+                     ("avg_path_length", 1e-3),
+                     ("diameter_estimate", 0),
+                     ("weakly_connected_components", 0),
+                     ("largest_wcc_size", 0),
+                     ("pagerank_top10_percent", 0.5)]:
+        a, b = nx_m[key], xla_m[key]
+        if a is None or b is None:
+            assert a == b, key
+        else:
+            assert abs(a - b) <= tol, f"{key}: nx={a} xla={b}"
+
+
+def test_empty_graph_metrics():
+    s = EmbeddedGraphStore("empty", persist_dir=None, persist=False)
+    m = ACSAutomata(s, ACSConfig(backend="networkx")).update_metrics()
+    assert m["node_count"] == 0
+    assert m["relationship_count"] == 0
+    assert m["avg_path_length"] is None
+
+
+def test_label_entropy():
+    s = _random_store()
+    m = ACSAutomata(s).update_metrics()
+    # entities + chunks + GraphNode labels -> entropy in (0, log2(3)]
+    assert 0 < m["label_entropy"] <= 1.585

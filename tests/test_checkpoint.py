@@ -1,0 +1,43 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidgraph_tpu.models.captioner import CaptionerConfig, forward, \
+    init_params
+from vidgraph_tpu.models.checkpoint import load_params, save_params
+from vidgraph_tpu.models.vit import ViTConfig, init_vision_tower
+
+
+def test_captioner_roundtrip(tmp_path):
+    cfg = CaptionerConfig.tiny()
+    params = init_params(cfg, seed=0)
+    path = save_params(params, str(tmp_path / "cap.npz"))
+    template = init_params(cfg, seed=99)   # different values, same shapes
+    loaded = load_params(template, path)
+    vis = jnp.ones((1, cfg.num_vision_tokens, cfg.vision_dim), jnp.float32)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(forward(params, cfg, vis, toks)),
+        np.asarray(forward(loaded, cfg, vis, toks)), rtol=1e-6)
+
+
+def test_vit_roundtrip(tmp_path):
+    cfg = ViTConfig.tiny()
+    model, params = init_vision_tower(cfg, seed=0)
+    path = save_params(params, str(tmp_path / "vit.npz"))
+    _, template = init_vision_tower(cfg, seed=5)
+    loaded = load_params(template, path)
+    x = jnp.ones((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    np.testing.assert_allclose(np.asarray(model.apply(params, x)),
+                               np.asarray(model.apply(loaded, x)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shape_mismatch_raises(tmp_path):
+    cfg = CaptionerConfig.tiny()
+    params = init_params(cfg, seed=0)
+    path = save_params(params, str(tmp_path / "cap.npz"))
+    bigger = CaptionerConfig(width=64, layers=2, heads=2, vision_dim=32,
+                             num_vision_tokens=2, max_len=64)
+    with pytest.raises((ValueError, KeyError)):
+        load_params(init_params(bigger, seed=0), path)

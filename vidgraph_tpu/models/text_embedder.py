@@ -65,7 +65,7 @@ class HashedNGramEmbedder:
     # tunnelled chip, ~0.2 ms host-attached) that only amortises on large
     # batches.  Recurring texts (entity names, relationship descriptions on
     # the rerank path) are served from the cache with no compute at all.
-    device_min_batch: int = 256
+    device_min_batch: int = 1024
     cache_max: int = 200_000
 
     def __post_init__(self) -> None:
