@@ -1,0 +1,141 @@
+"""Service-client tests: TPU captioner batching, HTTP clients against mock
+transports, profiling helpers."""
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from vidgraph_tpu.core.metrics import MetricsTracker
+from vidgraph_tpu.core.profiling import span
+from vidgraph_tpu.services.embed_client import HttpEmbedClient
+from vidgraph_tpu.services.llm_client import HttpChatClient
+from vidgraph_tpu.services.rerank_client import HttpRerankClient
+from vidgraph_tpu.services.vlm_client import LocalVLMClient, TPUVLMClient
+
+
+def test_tpu_captioner_batch_matches_single():
+    from vidgraph_tpu.models.captioner import CaptionerConfig
+    from vidgraph_tpu.models.vit import ViTConfig
+
+    client = TPUVLMClient(vit_cfg=ViTConfig.tiny(),
+                          cap_cfg=CaptionerConfig.tiny(), max_new=8)
+    rng = np.random.default_rng(0)
+    chunk_a = [rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+               for _ in range(3)]
+    chunk_b = [rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+               for _ in range(3)]
+    singles = [client.caption_batch_sync([chunk_a])[0],
+               client.caption_batch_sync([chunk_b])[0]]
+    batched = client.caption_batch_sync([chunk_a, chunk_b])
+    assert batched == singles
+
+
+def test_local_vlm_caption_batch_default():
+    client = LocalVLMClient()
+    red = np.zeros((32, 32, 3), np.uint8)
+    red[:, :, 0] = 220
+    out = asyncio.run(client.caption_batch([[red, red], [red]]))
+    assert len(out) == 2
+    assert "red" in out[0]
+
+
+# ------------------------------------------------------------ HTTP clients
+def _patch_async_client(monkeypatch, handler):
+    import httpx
+
+    real_init = httpx.AsyncClient.__init__
+
+    def init(self, *a, **kw):
+        kw["transport"] = httpx.MockTransport(handler)
+        kw.pop("timeout", None)
+        real_init(self, *a, **kw)
+
+    monkeypatch.setattr(httpx.AsyncClient, "__init__", init)
+
+
+def test_http_chat_client(monkeypatch):
+    import httpx
+
+    def handler(request):
+        body = json.loads(request.content)
+        assert body["model"] == "m"
+        assert body["messages"][-1]["content"] == "hello"
+        return httpx.Response(200, json={
+            "choices": [{"message": {"content": "world"}}]})
+
+    _patch_async_client(monkeypatch, handler)
+    client = HttpChatClient("http://x/v1", "m", retries=1)
+    assert asyncio.run(client.complete("hello")) == "world"
+
+
+def test_http_chat_client_retries_then_fails(monkeypatch):
+    import httpx
+
+    calls = []
+
+    def handler(request):
+        calls.append(1)
+        return httpx.Response(500)
+
+    _patch_async_client(monkeypatch, handler)
+    client = HttpChatClient("http://x/v1", "m", retries=3)
+
+    async def fast_sleep(_seconds):
+        return None
+
+    import vidgraph_tpu.services.llm_client as llm_mod
+    monkeypatch.setattr(llm_mod.asyncio, "sleep", fast_sleep)
+
+    async def run():
+        with pytest.raises(RuntimeError):
+            await client.complete("q")
+
+    asyncio.run(run())
+    assert len(calls) == 3
+
+
+def test_http_rerank_client(monkeypatch):
+    import httpx
+
+    def handler(request):
+        body = json.loads(request.content)
+        order = sorted(range(len(body["documents"])), reverse=True)
+        return httpx.Response(200, json={"results": [
+            {"index": i, "relevance_score": 1.0 - 0.1 * n}
+            for n, i in enumerate(order)]})
+
+    _patch_async_client(monkeypatch, handler)
+    client = HttpRerankClient("http://x/rerank", "m")
+    out = asyncio.run(client.rerank("q", ["a", "b", "c"], top_k=2))
+    assert out == [(2, 1.0), (1, 0.9)]
+
+
+def test_http_embed_client(monkeypatch):
+    import httpx
+
+    def handler(request):
+        body = json.loads(request.content)
+        return httpx.Response(200, json={"data": [
+            {"index": i, "embedding": [float(i)] * 4}
+            for i in range(len(body["input"]))]})
+
+    real_init = httpx.Client.__init__
+
+    def init(self, *a, **kw):
+        kw["transport"] = httpx.MockTransport(handler)
+        kw.pop("timeout", None)
+        real_init(self, *a, **kw)
+
+    monkeypatch.setattr(httpx.Client, "__init__", init)
+    client = HttpEmbedClient("http://x/v1", "m")
+    out = client.embed(["a", "b"])
+    assert out.shape == (2, 4)
+    np.testing.assert_array_equal(out[1], [1, 1, 1, 1])
+
+
+def test_span_records_metric():
+    m = MetricsTracker()
+    with span("stage_x", m):
+        pass
+    assert "stage_x" in m.timings

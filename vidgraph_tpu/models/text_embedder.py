@@ -80,6 +80,16 @@ class HashedNGramEmbedder:
     def _device_embed(self, counts: jax.Array) -> jax.Array:
         return l2_normalize(counts @ self._proj)
 
+    def _batch_counts(self, texts: List[str]) -> np.ndarray:
+        """n-gram bucket counts via the native C++ hasher when available
+        (identical semantics), else the vectorised numpy path."""
+        from .. import native
+
+        counts = native.ngram_counts_batch(texts, self.n_buckets)
+        if counts is not None:
+            return counts
+        return np.stack([_ngram_hashes(t, self.n_buckets) for t in texts])
+
     def _project(self, counts: np.ndarray) -> np.ndarray:
         n = counts.shape[0]
         if n >= self.device_min_batch:
@@ -110,8 +120,7 @@ class HashedNGramEmbedder:
                 missing_idx.append(i)
                 missing_texts.append(t)
         if missing_texts:
-            counts = np.stack([_ngram_hashes(t, self.n_buckets)
-                               for t in missing_texts])
+            counts = self._batch_counts(missing_texts)
             vecs = self._project(counts)
             if len(self._cache) + len(missing_texts) > self.cache_max:
                 self._cache.clear()

@@ -29,6 +29,14 @@ class VLMClient:
                       user_prompt: str = "") -> str:
         raise NotImplementedError
 
+    async def caption_batch(self, chunks: Sequence[Sequence[np.ndarray]],
+                            system_prompt: str = "",
+                            user_prompt: str = "") -> List[str]:
+        """Caption many chunks; backends override with true batching."""
+        return list(await asyncio.gather(*[
+            self.caption(frames, system_prompt, user_prompt)
+            for frames in chunks]))
+
 
 class TPUVLMClient(VLMClient):
     def __init__(self, vit_cfg=None, cap_cfg=None, seed: int = 0,
@@ -46,28 +54,66 @@ class TPUVLMClient(VLMClient):
         self._vit_apply = jax.jit(self.vit.apply)
 
     async def caption(self, frames, system_prompt="", user_prompt="") -> str:
-        return await asyncio.to_thread(self.caption_sync, list(frames))
+        return (await asyncio.to_thread(self.caption_batch_sync,
+                                        [list(frames)]))[0]
 
-    def caption_sync(self, frames: List[np.ndarray]) -> str:
+    async def caption_batch(self, chunks, system_prompt="",
+                            user_prompt="") -> List[str]:
+        return await asyncio.to_thread(
+            self.caption_batch_sync, [list(c) for c in chunks])
+
+    def _chunk_prefix(self, emb):
+        """[n_frames, d] frame embeddings -> [nv, d] vision prefix."""
+        import jax.numpy as jnp
+
+        nv = self.cap_cfg.num_vision_tokens
+        n = emb.shape[0]
+        if n >= nv:
+            return emb[:nv]
+        reps = -(-nv // n)
+        return jnp.tile(emb, (reps, 1))[:nv]
+
+    def caption_batch_sync(self, chunks: List[List[np.ndarray]]
+                           ) -> List[str]:
+        """Continuous-batched serving: every chunk's frames run through the
+        vision tower in ONE dispatch, and every caption decodes in ONE
+        batched ``generate`` call (the KV-cache scan runs all sequences in
+        lockstep on the MXU)."""
         import jax.numpy as jnp
 
         from ..models import tokenizer
         from ..models.captioner import generate
         from ..ops.preprocess import preprocess_frames
 
-        stack = np.stack(frames).astype(np.uint8)
-        x = preprocess_frames(jnp.asarray(stack), size=self.vit_cfg.image_size)
-        emb = self._vit_apply(self.vit_params, x)      # [n_frames, d]
-        nv = self.cap_cfg.num_vision_tokens
-        n = emb.shape[0]
-        if n >= nv:
-            vis = emb[:nv][None]
-        else:  # tile frames into the prefix slots
-            reps = -(-nv // n)
-            vis = jnp.tile(emb, (reps, 1))[:nv][None]
-        toks = generate(self.cap_params, self.cap_cfg, vis,
-                        max_new=self.max_new)
-        return tokenizer.decode(np.asarray(toks)[0])
+        stack = np.concatenate([np.stack(c).astype(np.uint8)
+                                for c in chunks], axis=0)
+        total = stack.shape[0]
+        fbucket = 8
+        while fbucket < total:
+            fbucket *= 2
+        if fbucket != total:
+            stack = np.concatenate(
+                [stack, np.zeros((fbucket - total,) + stack.shape[1:],
+                                 np.uint8)])
+        x = preprocess_frames(jnp.asarray(stack),
+                              size=self.vit_cfg.image_size)
+        emb = self._vit_apply(self.vit_params, x)[:total]
+        prefixes = []
+        off = 0
+        for c in chunks:
+            prefixes.append(self._chunk_prefix(emb[off:off + len(c)]))
+            off += len(c)
+        vis = jnp.stack(prefixes)                 # [n_chunks, nv, d]
+        n = vis.shape[0]
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:   # pad to a power-of-two batch: bounded compiles
+            vis = jnp.concatenate(
+                [vis, jnp.zeros((bucket - n,) + vis.shape[1:], vis.dtype)])
+        toks = np.asarray(generate(self.cap_params, self.cap_cfg, vis,
+                                   max_new=self.max_new))
+        return [tokenizer.decode(toks[i]) for i in range(len(chunks))]
 
 
 class HttpVLMClient(VLMClient):

@@ -148,11 +148,12 @@ class RealtimeEngine:
         return ready
 
     # ------------------------------------------------------------- processing
-    async def _caption_chunk(self, sid: str, idx: int, label: str,
-                             frames: np.ndarray) -> str:
+    async def _caption_chunks(self, ready) -> List[str]:
         if self.vlm is None:
-            return f"Stream {sid} chunk {idx}"
-        return await self.vlm.caption(list(frames))
+            return [f"Stream {sid} chunk {idx}"
+                    for sid, idx, _label, _f in ready]
+        return await self.vlm.caption_batch(
+            [list(frames) for _sid, _idx, _label, frames in ready])
 
     async def process_ready(self) -> int:
         """Process every completed chunk across all streams: one batched
@@ -169,9 +170,8 @@ class RealtimeEngine:
             all_frames = np.concatenate([r[3] for r in ready], axis=0)
             self.vision_embedder(all_frames)  # warm path; used by captioner
 
-        captions = await asyncio.gather(*[
-            self._caption_chunk(sid, idx, label, frames)
-            for sid, idx, label, frames in ready])
+        # all ready chunks captioned in one batched serving call
+        captions = await self._caption_chunks(ready)
 
         # text-embed all captions in one batched call, insert per stream
         vecs = await self.embed.aembed(list(captions))
