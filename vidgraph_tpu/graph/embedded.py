@@ -89,6 +89,10 @@ class EmbeddedGraphStore(GraphStore):
         self._adj: Dict[str, Set[Tuple[str, str, str]]] = defaultdict(set)
         self._chunk_emb = EmbeddingStore(dim=dim)
         self._lock = threading.RLock()
+        # fulltext index caches (entityName): token lists + doc frequencies,
+        # rebuilt lazily after writes
+        self._ft_tokens: Optional[Dict[str, List[str]]] = None
+        self._ft_df: Optional[Dict[str, int]] = None
 
         if load_existing and self._persist_path and self._persist_path.exists():
             self._load()
@@ -218,6 +222,7 @@ class EmbeddedGraphStore(GraphStore):
         timings = {"embedding_time": 0.0, "indexing_time": 0.0,
                    "graph_injection_time": 0.0}
         with self._lock:
+            self._invalidate_fulltext()
             batch_time = (batch_data[-1].get("time", "")
                           if batch_data else "")
             inj0 = perf_counter()
@@ -429,21 +434,32 @@ class EmbeddedGraphStore(GraphStore):
                         "source": "vector"})
         return out
 
+    def _fulltext_index(self) -> Tuple[Dict[str, List[str]],
+                                       Dict[str, int]]:
+        if self._ft_tokens is None or self._ft_df is None:
+            df: Dict[str, int] = defaultdict(int)
+            name_toks: Dict[str, List[str]] = {}
+            for name in self.entities:
+                toks = _tokens(name)
+                name_toks[name] = toks
+                for t in set(toks):
+                    df[t] += 1
+            self._ft_tokens, self._ft_df = name_toks, dict(df)
+        return self._ft_tokens, self._ft_df
+
+    def _invalidate_fulltext(self) -> None:
+        self._ft_tokens = None
+        self._ft_df = None
+
     def fulltext_search_entities(self, query: str, top_k: int,
                                  ) -> List[Dict[str, Any]]:
         """Lucene-flavoured OR-of-terms scoring over entity names (the
-        reference's ``entityName`` fulltext index)."""
+        reference's ``entityName`` fulltext index), served from an
+        incrementally-maintained index."""
         qtok = _tokens(query)
         if not qtok or not self.entities:
             return []
-        # document frequencies over entity-name tokens
-        df: Dict[str, int] = defaultdict(int)
-        name_toks: Dict[str, List[str]] = {}
-        for name in self.entities:
-            toks = _tokens(name)
-            name_toks[name] = toks
-            for t in set(toks):
-                df[t] += 1
+        name_toks, df = self._fulltext_index()
         n_docs = len(self.entities)
         scored = []
         for name, toks in name_toks.items():
@@ -577,6 +593,7 @@ class EmbeddedGraphStore(GraphStore):
 
     def import_data(self, data: Dict[str, Any]) -> None:
         with self._lock:
+            self._invalidate_fulltext()
             for node in data.get("nodes", []):
                 labels = node.get("labels", [])
                 props = dict(node.get("properties", {}))
@@ -633,6 +650,7 @@ class EmbeddedGraphStore(GraphStore):
         tmp.replace(self._persist_path)
 
     def _load(self) -> None:
+        self._invalidate_fulltext()
         with open(self._persist_path) as f:
             snap = json.load(f)
         self.entities = snap.get("entities", {})
