@@ -87,6 +87,9 @@ class EmbeddedGraphStore(GraphStore):
         self.rels: Dict[Tuple[str, str, str], Dict[str, Any]] = {}
         self.from_chunk: Set[Tuple[str, str]] = set()
         self._adj: Dict[str, Set[Tuple[str, str, str]]] = defaultdict(set)
+        # FROM_CHUNK adjacency indices (kept in lockstep with from_chunk)
+        self._fc_by_entity: Dict[str, Set[str]] = defaultdict(set)
+        self._fc_by_chunk: Dict[str, Set[str]] = defaultdict(set)
         self._chunk_emb = EmbeddingStore(dim=dim)
         self._lock = threading.RLock()
         # fulltext index caches (entityName): token lists + doc frequencies,
@@ -187,6 +190,13 @@ class EmbeddedGraphStore(GraphStore):
         (Cypher MATCH semantics)."""
         if entity in self.entities and chunk_id in self.chunks:
             self.from_chunk.add((entity, chunk_id))
+            self._fc_by_entity[entity].add(chunk_id)
+            self._fc_by_chunk[chunk_id].add(entity)
+
+    def _unlink_from_chunk(self, entity: str, chunk_id: str) -> None:
+        self.from_chunk.discard((entity, chunk_id))
+        self._fc_by_entity.get(entity, set()).discard(chunk_id)
+        self._fc_by_chunk.get(chunk_id, set()).discard(entity)
 
     @staticmethod
     def _chunk_matches_sources(chunk_id: str, chunk_index,
@@ -353,11 +363,13 @@ class EmbeddedGraphStore(GraphStore):
                 self.rels[nkey] = dict(props)
                 self._add_rel_key(nkey)
         # rewire FROM_CHUNK + extend source_chunk_ids
-        moved = [(e, c) for (e, c) in self.from_chunk if e == local]
-        for e, c in moved:
-            self.from_chunk.discard((e, c))
+        moved = sorted(self._fc_by_entity.get(local, set()))
+        for c in moved:
+            self._unlink_from_chunk(local, c)
             self.from_chunk.add((existing, c))
-        new_chunks = [c for _, c in moved]
+            self._fc_by_entity[existing].add(c)
+            self._fc_by_chunk[c].add(existing)
+        new_chunks = list(moved)
         if new_chunks:
             ids = list(enode.get("source_chunk_ids", []))
             ids += [c for c in new_chunks if c not in ids]
@@ -377,7 +389,8 @@ class EmbeddedGraphStore(GraphStore):
             return
         for key in list(self._adj.get(name, ())):
             self._drop_rel_key(key)
-        self.from_chunk = {(e, c) for (e, c) in self.from_chunk if e != name}
+        for c in list(self._fc_by_entity.get(name, set())):
+            self._unlink_from_chunk(name, c)
         del self.entities[name]
         self._adj.pop(name, None)
 
@@ -394,9 +407,8 @@ class EmbeddedGraphStore(GraphStore):
     def _cleanup_isolated_entities(self) -> None:
         """DETACH DELETE entities with no relationships at all; chunks are
         deliberately kept (see module docstring)."""
-        linked = {e for (e, _) in self.from_chunk}
         drop = [n for n in self.entities
-                if not self._adj.get(n) and n not in linked]
+                if not self._adj.get(n) and not self._fc_by_entity.get(n)]
         for n in drop:
             del self.entities[n]
             self._adj.pop(n, None)
@@ -511,14 +523,15 @@ class EmbeddedGraphStore(GraphStore):
                             bt = self.entities[nxt].get("batch_time", "") or ""
                             ent_seen.add((nxt, bt))
                 # FROM_CHUNK edges (undirected traversal crosses them too)
-                for (e, c) in self.from_chunk:
-                    if e == cur and c not in dist:
-                        rel_seen.add(f"{e} -[FROM_CHUNK]-> {c}")
+                for c in self._fc_by_entity.get(cur, ()):
+                    if c not in dist:
+                        rel_seen.add(f"{cur} -[FROM_CHUNK]-> {c}")
                         dist[c] = d + 1
                         frontier.append(c)
                         chunk_seen.add(c)
-                    elif c == cur and e not in dist:
-                        rel_seen.add(f"{e} -[FROM_CHUNK]-> {c}")
+                for e in self._fc_by_chunk.get(cur, ()):
+                    if e not in dist:
+                        rel_seen.add(f"{e} -[FROM_CHUNK]-> {cur}")
                         dist[e] = d + 1
                         frontier.append(e)
                         bt = self.entities.get(e, {}).get("batch_time", "") \
@@ -553,7 +566,7 @@ class EmbeddedGraphStore(GraphStore):
         return self.chunks.get(chunk_id)
 
     def entities_of_chunk(self, chunk_id: str) -> List[str]:
-        return sorted(e for (e, c) in self.from_chunk if c == chunk_id)
+        return sorted(self._fc_by_chunk.get(chunk_id, set()))
 
     def relations_of_entity(self, name: str):
         out = []
@@ -618,8 +631,8 @@ class EmbeddedGraphStore(GraphStore):
                 if not typ or not h:
                     continue
                 if typ == "FROM_CHUNK":
-                    if t and h in self.entities and t in self.chunks:
-                        self.from_chunk.add((h, t))
+                    if t:
+                        self.link_from_chunk(h, t)
                     continue
                 if t is None:
                     continue
@@ -659,7 +672,10 @@ class EmbeddedGraphStore(GraphStore):
             key = (h, typ, t)
             self.rels[key] = props
             self._add_rel_key(key)
-        self.from_chunk = {tuple(x) for x in snap.get("from_chunk", [])}
+        for e, c in snap.get("from_chunk", []):
+            self.from_chunk.add((e, c))
+            self._fc_by_entity[e].add(c)
+            self._fc_by_chunk[c].add(e)
         ids, vecs = [], []
         for cid, c in self.chunks.items():
             if c.get("embedding"):
