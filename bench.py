@@ -130,6 +130,7 @@ def main() -> None:
     # secondary: frames/sec/chip through preprocess + ViT-B/32 embed
     fps = _frames_per_second()
     rt = _realtime_factor()
+    big_ms = _large_store_topk_ms()
 
     print(json.dumps({
         "metric": "online_retrieval_p50_ms",
@@ -142,6 +143,7 @@ def main() -> None:
                   "rels": N_RELS, "build_s": round(build_s, 2)},
         "frames_per_sec_chip": round(fps, 1),
         "realtime_8x30fps_factor": round(rt, 2),
+        "large_store_topk_ms": round(big_ms, 3),
         "baseline_retrieval_ms": BASELINE_RETRIEVAL_MS,
     }))
 
@@ -171,6 +173,32 @@ def _frames_per_second() -> float:
     np.asarray(out)
     dt = time.perf_counter() - t0
     return 40 * reps / dt
+
+
+def _large_store_topk_ms() -> float:
+    """Scale path: fused Pallas cosine top-k over a 200k x 512 HBM store
+    (a ~9-hour continuous video memory), per-query device time amortised
+    over a 16-query batch."""
+    import numpy as np
+
+    from vidgraph_tpu.memory.embedding_store import EmbeddingStore
+
+    rng = np.random.default_rng(0)
+    store = EmbeddingStore(dim=512, capacity=200_000)
+    n = 200_000
+    step = 20_000
+    for i in range(0, n, step):
+        store.add([f"c{j}" for j in range(i, i + step)],
+                  rng.normal(size=(step, 512)).astype(np.float32))
+    q = rng.normal(size=(16, 512)).astype(np.float32)
+    store.search(q, k=5)  # compile + warm
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        hits = store.search(q, k=5)
+    dt = time.perf_counter() - t0
+    assert hits[0]
+    return dt / reps / 16 * 1e3  # ms per query
 
 
 def _realtime_factor() -> float:
