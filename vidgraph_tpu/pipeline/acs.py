@@ -45,7 +45,13 @@ _AUTO_XLA_MIN_NODES = 192
 # ---------------------------------------------------------------------------
 
 def _pad_dim(n: int) -> int:
-    return max(128, ((n + 127) // 128) * 128)
+    """Power-of-two padding: the adjacency grows every batch, so rounding
+    to the next 128 would force a fresh XLA compile per batch; powers of
+    two bound the distinct kernel shapes to a handful per run."""
+    p = 128
+    while p < n:
+        p *= 2
+    return p
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
