@@ -278,8 +278,17 @@ class LocalChatClient(ChatClient):
     def _answer(self, prompt: str) -> str:
         question = _section(prompt, "QUESTION:", ["VIDEO CONTEXT:"])
         context = _section(prompt, "VIDEO CONTEXT:", ["CONCISE ANSWER:"])
+        # strip retrieval scaffolding (headers echo the question and would
+        # otherwise win the overlap scoring)
+        content_lines = [
+            ln for ln in context.splitlines()
+            if not ln.strip().startswith(("Found results for",
+                                          "Chunks (", "Related Entities",
+                                          "Related Relationships",
+                                          "No results found"))]
+        context = "\n".join(content_lines)
         qtok = {w.lower() for w in _words(question)} - _STOPWORDS
-        best, best_score = "", -1.0
+        best, best_score = "", 0.0
         for sent in _sentences(context):
             stok = {w.lower() for w in _words(sent)}
             score = len(qtok & stok)
