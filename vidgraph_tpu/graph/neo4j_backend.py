@@ -14,7 +14,7 @@ by this repository's test environment (no Bolt service available).
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 from ..core.config import Neo4jConfig
 from ..core.logger import get_logger

@@ -11,7 +11,7 @@ mesh "model" axis (see param_shardings()), batch along "data".
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,6 @@ prompts and responses are appended to the per-batch trace file.
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 from ..core.config import LLMInjectorConfig

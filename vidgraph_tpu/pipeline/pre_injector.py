@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import asyncio
 import random
-import re
 import time
 from typing import Any, Dict, List, Optional, Tuple
 

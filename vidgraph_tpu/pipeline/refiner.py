@@ -21,7 +21,7 @@ import json
 import re
 import time
 from difflib import SequenceMatcher
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 from ..core.config import ChunkingConfig
 from ..core.logger import get_logger

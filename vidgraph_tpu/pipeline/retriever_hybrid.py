@@ -25,12 +25,10 @@ file (reference: src/pipeline/retriever_hybrid.py:53-140).
 """
 from __future__ import annotations
 
-import asyncio
 import json
-import re
 import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

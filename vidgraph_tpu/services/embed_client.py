@@ -11,7 +11,7 @@ reference's post-compression disappears.
 from __future__ import annotations
 
 import asyncio
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

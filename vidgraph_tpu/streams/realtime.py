@@ -27,7 +27,7 @@ from __future__ import annotations
 import asyncio
 import dataclasses
 import time
-from collections import defaultdict, deque
+from collections import defaultdict
 from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np

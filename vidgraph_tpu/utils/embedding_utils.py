@@ -6,7 +6,7 @@ device hash embedder.  ``cosine_similarity`` is kept for API parity.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
