@@ -46,10 +46,19 @@ class OfflineRetriever:
         self.hybrid = HybridRetriever(config.retrieval, self.store,
                                       self.embed, self.rerank,
                                       output_file=None)
+        self._warmed = False
+
+    async def _ensure_warm(self) -> None:
+        if not self._warmed:
+            self._warmed = True
+            n = await self.hybrid.warm_cache()
+            if n:
+                logger.debug("Warmed embedding cache with %d texts", n)
 
     async def retrieve(self, query: str, groundtruth: str = "",
                        true_chunks: Optional[List[int]] = None,
                        ) -> Dict[str, Any]:
+        await self._ensure_warm()
         t0 = time.perf_counter()
         text, _ = await self.hybrid.perform_hybrid_retrieval(query,
                                                              true_chunks)

@@ -94,6 +94,21 @@ class HybridRetriever:
         self.executed_query_keys: set = set()
         self.output_file = Path(output_file) if output_file else None
 
+    async def warm_cache(self) -> int:
+        """Pre-embed every entity name and relationship description in one
+        batched call so first-query latency equals steady-state (the rerank
+        path otherwise pays the hash+project cost of each new text once)."""
+        texts: List[str] = []
+        try:
+            texts.extend(self.store.entities.keys())
+            for (h, typ, t) in getattr(self.store, "rels", {}):
+                texts.append(f"{h} -[{typ}]-> {t}")
+        except AttributeError:
+            return 0
+        if texts:
+            await self.embed.aembed(texts)
+        return len(texts)
+
     # --------------------------------------------------------------- schedule
     def _load_retrieval_schedule(self) -> List[Dict[str, str]]:
         try:
