@@ -123,6 +123,60 @@ async def run_benchmark(config_path: str, input_path: str,
     return f"accuracy={acc:.4f} -> {output_path}"
 
 
+async def run_streams(args):
+    from ..io.video import probe_video
+    from ..pipeline.retriever_hybrid import HybridRetriever  # noqa: F401
+    from ..services.embed_client import make_embed_client
+    from ..services.llm_client import make_chat_client
+    from ..services.vlm_client import make_vlm_client
+    from ..streams import (LiveKGIngestor, RealtimeEngine, StreamSpec,
+                           simulate, video_frame_source)
+
+    config = PipelineConfig.from_yaml(args.config)
+    embed = make_embed_client(config.backend.embedder,
+                              dim=config.embedding_memory.dim,
+                              endpoint=config.embedder.endpoint,
+                              model=config.embedder.model,
+                              api_key=config.embedder.api_key)
+    vlm = make_vlm_client(config.backend.vlm, config.vlm)
+    ingestor = None
+    if args.live_kg:
+        chat = make_chat_client(config.backend.llm,
+                                endpoint=config.llm_injector.endpoint,
+                                model=config.llm_injector.model_name,
+                                api_key=config.llm_injector.api_key)
+        ingestor = LiveKGIngestor(config, chat, embed)
+
+    specs, sources = [], {}
+    seconds = args.seconds
+    for i, path in enumerate(args.videos):
+        sid = f"stream{i}"
+        meta = probe_video(path)
+        specs.append(StreamSpec(
+            sid, fps=args.fps,
+            chunk_size_seconds=config.video.chunk_size_seconds,
+            frames_per_chunk=config.video.frames_per_chunk))
+        sources[sid] = video_frame_source(path)
+        if seconds <= 0:
+            seconds = meta.duration_seconds if seconds <= 0 else \
+                min(seconds, meta.duration_seconds)
+    engine = RealtimeEngine(specs, embed_client=embed, vlm_client=vlm,
+                            kg_extractor=ingestor)
+    queries = []
+    for q in args.query:
+        t, idx, text = q.split(":", 2)
+        queries.append((float(t), f"stream{int(idx)}", text))
+    out = await simulate(engine, sources, video_seconds=seconds,
+                         queries=queries, realtime=args.realtime)
+    if ingestor is not None:
+        await ingestor.flush()
+        out["graphs"] = {sid: {"nodes": s.get_node_count(),
+                               "rels": s.get_relationship_count()}
+                         for sid, s in ingestor.stores.items()}
+        ingestor.close()
+    return out
+
+
 # --------------------------------------------------------------------- parser
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
@@ -176,6 +230,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--threshold", type=float, default=0.8)
+
+    p = sub.add_parser("stream", help="Run the real-time multi-stream "
+                                      "engine over video files")
+    p.add_argument("--config", required=True)
+    p.add_argument("--videos", required=True, nargs="+",
+                   help="One video file per stream")
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--seconds", type=float, default=0.0,
+                   help="Video-seconds to process (0 = full shortest video)")
+    p.add_argument("--query", action="append", default=[],
+                   help="'<time_s>:<stream_idx>:<text>' scheduled query; "
+                        "repeatable")
+    p.add_argument("--realtime", action="store_true",
+                   help="Pace frames at --fps (default: max throughput)")
+    p.add_argument("--live-kg", action="store_true",
+                   help="Build knowledge graphs per stream during ingest")
     return parser
 
 
@@ -235,6 +305,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         result = prune_export_file(args.input, args.output, args.threshold)
         print(f"Graph pruning completed: {result}")
+    elif args.command == "stream":
+        result = asyncio.run(run_streams(args))
+        print(f"Stream run completed: {json.dumps(result)}")
     else:
         parser.print_help()
         return 1
