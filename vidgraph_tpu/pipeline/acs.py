@@ -81,6 +81,85 @@ def _distance_matrix(adj_u: jax.Array, valid: jax.Array, max_steps: int):
     return jnp.where(vmask > 0, dist, jnp.inf)
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _betweenness(adj_d: jax.Array, valid: jax.Array, max_steps: int):
+    """Exact all-pairs betweenness centrality (Brandes) as dense level-
+    synchronised matmuls on the directed graph.
+
+    Forward sweep: sigma[s,v] (shortest-path counts) built level by level
+    with sigma_k = (sigma_{k-1} @ A) masked to D==k.  Backward sweep:
+    dependencies delta_k = sigma_k * ((1+delta_{k+1})/sigma_{k+1} @ A^T)
+    masked to D==k.  bc[v] = sum_s delta[s,v], normalised by
+    1/((n-1)(n-2)) (networkx directed convention, endpoints excluded).
+
+    The reference could only afford k<=100 SAMPLED betweenness through
+    NetworkX (reference: src/pipeline/acs_automata.py:144-151); on the MXU
+    the exact computation is O(diameter) N^2 matmuls.
+    """
+    n = adj_d.shape[0]
+    vmask = valid[:, None] * valid[None, :]
+    a = adj_d * vmask
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    # directed hop distances
+    reach = jnp.minimum(eye + a, 1.0) * vmask
+    dist = jnp.where(eye > 0, 0.0, jnp.where(a > 0, 1.0, jnp.inf))
+
+    def dbody(carry, k):
+        reach, dist = carry
+        new_reach = jnp.minimum(reach + reach @ a, 1.0) * vmask
+        newly = (new_reach > 0) & (reach == 0)
+        dist = jnp.where(newly, k.astype(jnp.float32), dist)
+        return (new_reach, dist), 0
+
+    (_, dist), _ = jax.lax.scan(dbody, (reach, dist),
+                                jnp.arange(2, max_steps + 2))
+
+    # forward: path counts per level
+    def sbody(sigma, k):
+        kf = k.astype(jnp.float32)
+        prev = sigma * (dist == kf - 1.0)
+        sigma = sigma + (prev @ a) * (dist == kf)
+        return sigma, 0
+
+    sigma, _ = jax.lax.scan(sbody, eye, jnp.arange(1, max_steps + 1))
+
+    # backward: dependency accumulation from the deepest level down
+    def bbody(delta, k):
+        kf = k.astype(jnp.float32)
+        contrib = jnp.where(dist == kf + 1.0,
+                            (1.0 + delta) / jnp.maximum(sigma, 1.0),
+                            0.0)
+        delta = delta + sigma * (contrib @ a.T) * (dist == kf)
+        return delta, 0
+
+    delta, _ = jax.lax.scan(bbody, jnp.zeros_like(sigma),
+                            jnp.arange(max_steps, 0, -1))
+
+    bc = jnp.sum(delta, axis=0)
+    n_valid = valid.sum()
+    denom = jnp.maximum((n_valid - 1.0) * (n_valid - 2.0), 1.0)
+    return jnp.where(valid > 0, bc / denom, 0.0)
+
+
+@jax.jit
+def _directed_clustering(adj_d: jax.Array, valid: jax.Array):
+    """Fagiolo (2007) directed clustering coefficient per node — the exact
+    quantity ``nx.average_clustering`` computes on a DiGraph — as three
+    matmuls: C_i = (A+A^T)^3_ii / (2(d_tot(d_tot-1) - 2 d_bidir))."""
+    vmask = valid[:, None] * valid[None, :]
+    a = adj_d * vmask
+    s = a + a.T
+    s3 = s @ s @ s
+    tri = jnp.diagonal(s3) / 2.0
+    d_tot = a.sum(0) + a.sum(1)
+    d_bi = jnp.diagonal(a @ a)
+    denom = d_tot * (d_tot - 1.0) - 2.0 * d_bi
+    c = jnp.where(denom > 0, tri / denom, 0.0)
+    n_valid = jnp.maximum(valid.sum(), 1.0)
+    return jnp.sum(jnp.where(valid > 0, c, 0.0)) / n_valid
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def _pagerank(adj_d: jax.Array, valid: jax.Array, iters: int = 50,
               damping: float = 0.85):
@@ -204,12 +283,17 @@ class ACSAutomata:
                 G = self._nx_from_adj(adj)
             return G
 
-        # ---- betweenness (networkx, sampled k<=100 as the reference) -----
+        # ---- betweenness: exact XLA Brandes, or nx sampled (reference) ----
         try:
-            bt = nx.betweenness_centrality(
-                _G(), k=min(self.config.betweenness_k, n), seed=42)
-            avg_bt = sum(bt.values()) / len(bt) if bt else 0.0
-            max_bt = max(bt.values()) if bt else 0.0
+            if backend == "xla" and n >= 3:
+                bc = self._betweenness_xla(adj)
+                avg_bt = float(bc.mean())
+                max_bt = float(bc.max())
+            else:
+                bt = nx.betweenness_centrality(
+                    _G(), k=min(self.config.betweenness_k, n), seed=42)
+                avg_bt = sum(bt.values()) / len(bt) if bt else 0.0
+                max_bt = max(bt.values()) if bt else 0.0
         except Exception:
             avg_bt = max_bt = 0.0
 
@@ -235,7 +319,10 @@ class ACSAutomata:
 
         # ---- clustering (directed, as nx.average_clustering on DiGraph) ---
         try:
-            clustering = nx.average_clustering(_G())
+            if backend == "xla" and n >= 2:
+                clustering = float(self._clustering_xla(adj))
+            else:
+                clustering = nx.average_clustering(_G())
         except Exception:
             clustering = 0.0
 
@@ -392,6 +479,27 @@ class ACSAutomata:
         else:
             apl, diam = None, 0
         return eff, apl, diam, wcc_count, largest
+
+    def _betweenness_xla(self, adj: np.ndarray) -> np.ndarray:
+        n = adj.shape[0]
+        pad = _pad_dim(n)
+        a = np.zeros((pad, pad), np.float32)
+        a[:n, :n] = adj
+        valid = np.zeros(pad, np.float32)
+        valid[:n] = 1.0
+        bc = np.asarray(_betweenness(jnp.asarray(a), jnp.asarray(valid),
+                                     min(n, 128)))
+        return bc[:n]
+
+    def _clustering_xla(self, adj: np.ndarray) -> float:
+        n = adj.shape[0]
+        pad = _pad_dim(n)
+        a = np.zeros((pad, pad), np.float32)
+        a[:n, :n] = adj
+        valid = np.zeros(pad, np.float32)
+        valid[:n] = 1.0
+        return float(_directed_clustering(jnp.asarray(a),
+                                          jnp.asarray(valid)))
 
     def _pagerank_xla(self, adj: np.ndarray) -> np.ndarray:
         n = adj.shape[0]
