@@ -90,3 +90,25 @@ def test_directed_clustering_matches_networkx():
         G.add_edges_from(zip(rows.tolist(), cols.tolist()))
         ref = nx.average_clustering(G)
         assert abs(got - ref) < 1e-4, (got, ref)
+
+
+def test_assortativity_matches_networkx():
+    from vidgraph_tpu.pipeline.acs import _assortativity
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 25
+        adj = (rng.random((n, n)) < 0.15).astype(np.float32)
+        np.fill_diagonal(adj, 0.0)
+        pad = 128
+        a = np.zeros((pad, pad), np.float32)
+        a[:n, :n] = adj
+        valid = np.zeros(pad, np.float32)
+        valid[:n] = 1.0
+        got = float(_assortativity(jnp.asarray(a), jnp.asarray(valid)))
+        G = nx.DiGraph()
+        G.add_nodes_from(range(n))
+        rows, cols = np.nonzero(adj)
+        G.add_edges_from(zip(rows.tolist(), cols.tolist()))
+        ref = nx.degree_assortativity_coefficient(G)
+        assert abs(got - ref) < 1e-3, (got, ref)

@@ -143,6 +143,28 @@ def _betweenness(adj_d: jax.Array, valid: jax.Array, max_steps: int):
 
 
 @jax.jit
+def _assortativity(adj_d: jax.Array, valid: jax.Array):
+    """Directed degree assortativity (networkx convention: Pearson
+    correlation of source OUT-degree vs target IN-degree over edges) as
+    adjacency contractions."""
+    vmask = valid[:, None] * valid[None, :]
+    a = adj_d * vmask
+    dout = a.sum(1)
+    din = a.sum(0)
+    m = jnp.maximum(a.sum(), 1.0)
+    sx = jnp.sum(dout * dout)            # sum over edges of x = dout[src]
+    sy = jnp.sum(din * din)              # sum over edges of y = din[dst]
+    sxy = dout @ a @ din
+    sxx = jnp.sum(dout ** 3)
+    syy = jnp.sum(din ** 3)
+    cov = sxy / m - (sx / m) * (sy / m)
+    varx = sxx / m - (sx / m) ** 2
+    vary = syy / m - (sy / m) ** 2
+    denom = jnp.sqrt(jnp.maximum(varx * vary, 0.0))
+    return jnp.where(denom > 0, cov / denom, 0.0)
+
+
+@jax.jit
 def _directed_clustering(adj_d: jax.Array, valid: jax.Array):
     """Fagiolo (2007) directed clustering coefficient per node — the exact
     quantity ``nx.average_clustering`` computes on a DiGraph — as three
@@ -298,7 +320,16 @@ class ACSAutomata:
             avg_bt = max_bt = 0.0
 
         try:
-            assort = nx.degree_assortativity_coefficient(_G())
+            if backend == "xla" and m > 0:
+                pad = _pad_dim(n)
+                a = np.zeros((pad, pad), np.float32)
+                a[:n, :n] = adj
+                v = np.zeros(pad, np.float32)
+                v[:n] = 1.0
+                assort = float(_assortativity(jnp.asarray(a),
+                                              jnp.asarray(v)))
+            else:
+                assort = nx.degree_assortativity_coefficient(_G())
             if math.isnan(assort):
                 assort = 0.0
         except Exception:
