@@ -33,13 +33,15 @@ async def run_vlm_extraction(config_path: str, video: str, output: str):
 
 
 async def run_kg_construction(config_path: str, vlm_output: str,
-                              retrieval_schedule: Optional[str] = None):
+                              retrieval_schedule: Optional[str] = None,
+                              resume_uuid: Optional[str] = None):
     from ..pipeline.kg_builder import KGBuilder
 
     config = PipelineConfig.from_yaml(config_path)
-    builder = KGBuilder(config)
-    return await builder.build_knowledge_graph(vlm_output,
-                                               retrieval_schedule)
+    builder = KGBuilder(config, run_uuid=resume_uuid,
+                        load_existing=resume_uuid is not None)
+    return await builder.build_knowledge_graph(
+        vlm_output, retrieval_schedule, resume=resume_uuid is not None)
 
 
 async def run_offline_retrieval(config_path: str, graph_uuid: str,
@@ -195,6 +197,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", required=True)
     p.add_argument("--vlm-output", required=True)
     p.add_argument("--retrieval-schedule")
+    p.add_argument("--resume-uuid",
+                   help="Resume an interrupted build at its next batch")
 
     p = sub.add_parser("retrieve", help="Run offline retrieval")
     p.add_argument("--config", required=True)
@@ -276,7 +280,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif args.command == "kg":
         result = asyncio.run(run_kg_construction(args.config,
                                                  args.vlm_output,
-                                                 args.retrieval_schedule))
+                                                 args.retrieval_schedule,
+                                                 args.resume_uuid))
         print(f"Knowledge graph construction completed with UUID: {result}")
     elif args.command == "retrieve":
         true_chunks = parse_true_chunks_args(args.true_chunks)

@@ -40,7 +40,8 @@ logger = get_logger("kg_builder")
 class KGBuilder:
     def __init__(self, config: PipelineConfig, graph_store=None,
                  chat_client=None, embed_client=None,
-                 rerank_client=None, run_uuid: Optional[str] = None) -> None:
+                 rerank_client=None, run_uuid: Optional[str] = None,
+                 load_existing: bool = False) -> None:
         self.config = config
         self.run_uuid = run_uuid or str(_uuid.uuid4())
         self.metrics = MetricsTracker()
@@ -63,7 +64,8 @@ class KGBuilder:
                 api_key=config.retrieval.reranker_api_key)
 
         self.store = graph_store if graph_store is not None else \
-            open_graph_store(config, self.run_uuid, load_existing=False)
+            open_graph_store(config, self.run_uuid,
+                             load_existing=load_existing)
         self.network_info = NetworkInfoProvider(self.store)
         self.pre_injector = PreLLMInjector(
             config.chunking, config.llm_injector, config.embedder,
@@ -76,15 +78,35 @@ class KGBuilder:
         self.acs_automata = ACSAutomata(self.store, config.acs)
         self.online_retriever: Optional[HybridRetriever] = None
 
+    def _completed_batches(self) -> int:
+        """Highest contiguous batch index already persisted (resume point).
+
+        The reference had no mid-run checkpointing — a crashed KG build
+        restarted from scratch with a new UUID (SURVEY §5.4).  Here the
+        store persists after every batch, so a run can resume from where
+        it stopped: chunk ids are ``{uuid}_{batch}_{i}``."""
+        done = set()
+        for cid in getattr(self.store, "chunks", {}):
+            parts = str(cid).split("_")
+            if len(parts) >= 3 and parts[-2].isdigit():
+                done.add(int(parts[-2]))
+        nxt = 0
+        while nxt in done:
+            nxt += 1
+        return nxt
+
     # -------------------------------------------------------------------- main
     async def build_knowledge_graph(self, vlm_json_path: str,
                                     retrieval_schedule_path: Optional[str]
-                                    = None) -> str:
+                                    = None, resume: bool = False,
+                                    max_batches: Optional[int] = None
+                                    ) -> str:
         logger.info("Starting KG construction from %s (uuid=%s)",
                     vlm_json_path, self.run_uuid)
         logs_dir = Path("logs")
-        if logs_dir.exists():
-            shutil.rmtree(logs_dir, ignore_errors=True)
+        if not resume:
+            if logs_dir.exists():
+                shutil.rmtree(logs_dir, ignore_errors=True)
         logs_dir.mkdir(parents=True, exist_ok=True)
 
         with open(vlm_json_path) as f:
@@ -92,6 +114,13 @@ class KGBuilder:
         results = vlm_data["results"]
         bs = self.config.kg.batch_size
         total_batches = (len(results) + bs - 1) // bs
+        start_batch = 0
+        if resume:
+            start_batch = self._completed_batches()
+            logger.info("Resuming run %s at batch %d/%d", self.run_uuid,
+                        start_batch, total_batches)
+        if max_batches is not None:
+            total_batches = min(total_batches, max_batches)
 
         if retrieval_schedule_path:
             self.online_retriever = HybridRetriever(
@@ -101,7 +130,7 @@ class KGBuilder:
                         len(self.online_retriever.retrieval_schedule))
 
         try:
-            for batch_idx in range(total_batches):
+            for batch_idx in range(start_batch, total_batches):
                 await self._process_batch(results, batch_idx, total_batches,
                                           logs_dir)
             self.metrics.save_metrics(f"metrics/kg_{self.run_uuid}.json")
