@@ -38,18 +38,43 @@ class VLMClient:
             for frames in chunks]))
 
 
+_TPU_VLM_PRESETS = {
+    # name -> (ViTConfig kwargs, CaptionerConfig kwargs)
+    "b32": ({}, {}),
+    "tiny64": (dict(image_size=64, patch_size=32, width=128, layers=4,
+                    heads=4, embed_dim=64),
+               dict(width=128, layers=4, heads=4, vision_dim=64,
+                    num_vision_tokens=4, max_len=104)),
+}
+
+
 class TPUVLMClient(VLMClient):
     def __init__(self, vit_cfg=None, cap_cfg=None, seed: int = 0,
-                 max_new: int = 256) -> None:
+                 max_new: int = 256,
+                 checkpoint: Optional[str] = None,
+                 preset: Optional[str] = None) -> None:
         import jax
+        import jax.numpy as jnp
 
         from ..models.captioner import CaptionerConfig, init_params
         from ..models.vit import ViTConfig, init_vision_tower
 
+        if preset:
+            vkw, ckw = _TPU_VLM_PRESETS[preset]
+            vit_cfg = vit_cfg or ViTConfig(dtype=jnp.float32, **vkw)
+            cap_cfg = cap_cfg or CaptionerConfig(dtype=jnp.float32, **ckw)
         self.vit_cfg = vit_cfg or ViTConfig.b32()
         self.cap_cfg = cap_cfg or CaptionerConfig.base()
         self.vit, self.vit_params = init_vision_tower(self.vit_cfg, seed)
         self.cap_params = init_params(self.cap_cfg, seed)
+        if checkpoint:
+            from ..models.checkpoint import load_params
+
+            loaded = load_params({"vit": self.vit_params,
+                                  "cap": self.cap_params}, checkpoint)
+            self.vit_params = loaded["vit"]
+            self.cap_params = loaded["cap"]
+            logger.info("Loaded VLM weights from %s", checkpoint)
         self.max_new = max_new
         self._vit_apply = jax.jit(self.vit.apply)
 
@@ -224,7 +249,11 @@ class LocalVLMClient(VLMClient):
 
 def make_vlm_client(kind: str, vlm_config=None) -> VLMClient:
     if kind == "tpu":
-        return TPUVLMClient()
+        ckpt = getattr(vlm_config, "checkpoint_path", None) \
+            if vlm_config is not None else None
+        preset = getattr(vlm_config, "tpu_preset", None) \
+            if vlm_config is not None else None
+        return TPUVLMClient(checkpoint=ckpt, preset=preset)
     if kind == "local":
         return LocalVLMClient()
     if kind == "http":
