@@ -53,3 +53,12 @@ def test_logger_is_idempotent(tmp_path):
     lg2 = get_logger("t_core_x", log_dir=str(tmp_path))
     assert lg1 is lg2
     assert len(lg1.handlers) == 2
+
+
+def test_shipped_configs_parse():
+    cfg = PipelineConfig.from_yaml("config/base_config.yaml")
+    assert cfg.backend.vlm == "tpu"
+    assert cfg.graph_store.backend == "embedded"
+    hr = PipelineConfig.from_yaml("config/high_recall_config.yaml")
+    assert hr.retrieval.post_compression is False
+    assert hr.retrieval.top_k_chunks == 5

@@ -250,6 +250,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pace frames at --fps (default: max throughput)")
     p.add_argument("--live-kg", action="store_true",
                    help="Build knowledge graphs per stream during ingest")
+
+    p = sub.add_parser("serve", help="Serve the video-memory API over HTTP")
+    p.add_argument("--config", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8077)
     return parser
 
 
@@ -313,6 +318,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif args.command == "stream":
         result = asyncio.run(run_streams(args))
         print(f"Stream run completed: {json.dumps(result)}")
+    elif args.command == "serve":
+        from ..services.server import VideoMemoryServer
+
+        config = PipelineConfig.from_yaml(args.config)
+        server = VideoMemoryServer(config, host=args.host, port=args.port)
+        print(f"Serving video-memory API on {args.host}:{args.port}")
+        asyncio.run(server.serve_forever())
     else:
         parser.print_help()
         return 1
