@@ -85,6 +85,15 @@ class GraphStore(abc.ABC):
     def entities_of_chunk(self, chunk_id: str) -> List[str]: ...
 
     @abc.abstractmethod
+    def get_entity(self, name: str) -> Optional[Dict[str, Any]]: ...
+
+    @abc.abstractmethod
+    def entities_with_source_chunk(self, chunk_id: str) -> List[str]:
+        """Entity names whose ``source_chunk_ids`` contains ``chunk_id``
+        (the seed set for subgraph-context extraction)."""
+        ...
+
+    @abc.abstractmethod
     def relations_of_entity(self, name: str,
                             ) -> List[Tuple[str, str, str, Dict]]: ...
 

@@ -568,6 +568,13 @@ class EmbeddedGraphStore(GraphStore):
     def entities_of_chunk(self, chunk_id: str) -> List[str]:
         return sorted(self._fc_by_chunk.get(chunk_id, set()))
 
+    def get_entity(self, name: str) -> Optional[Dict[str, Any]]:
+        return self.entities.get(name)
+
+    def entities_with_source_chunk(self, chunk_id: str) -> List[str]:
+        return [name for name, props in self.entities.items()
+                if chunk_id in (props.get("source_chunk_ids") or [])]
+
     def relations_of_entity(self, name: str):
         out = []
         for key in sorted(self._adj.get(name, ())):

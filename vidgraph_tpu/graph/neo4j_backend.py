@@ -312,6 +312,19 @@ class Neo4jGraphStore(GraphStore):
             id=chunk_id, u=self.graph_uuid)
         return [r["n"] for r in rows]
 
+    def get_entity(self, name: str) -> Optional[Dict[str, Any]]:
+        rows = self._run("MATCH (e:Entity {name: $n, graph_uuid: $u}) "
+                         "RETURN properties(e) AS p", n=name,
+                         u=self.graph_uuid)
+        return dict(rows[0]["p"]) if rows else None
+
+    def entities_with_source_chunk(self, chunk_id: str) -> List[str]:
+        rows = self._run(
+            "MATCH (e:Entity:GraphNode) WHERE e.graph_uuid = $u "
+            "AND $c IN coalesce(e.source_chunk_ids, []) "
+            "RETURN e.name AS n", c=chunk_id, u=self.graph_uuid)
+        return [r["n"] for r in rows]
+
     def relations_of_entity(self, name: str):
         rows = self._run(
             "MATCH (h:Entity {graph_uuid: $u})-[r]->(t:Entity "

@@ -220,8 +220,7 @@ class PreLLMInjector:
                                        ) -> str:
         """Compact subgraph string around a chunk's entities (format parity:
         ``Subgraph: (Name / ID: b_c)-[REL]->(Name / ID: b_c), ...``)."""
-        seeds = [name for name, props in graph_store.entities.items()
-                 if chunk_id in (props.get("source_chunk_ids") or [])]
+        seeds = graph_store.entities_with_source_chunk(chunk_id)
         if not seeds:
             return ""
         seed_set = set(seeds)
@@ -230,8 +229,9 @@ class PreLLMInjector:
         seen_keys = set()
         for seed in seeds:
             for h, typ, t, _props in graph_store.relations_of_entity(seed):
-                if t in graph_store.chunks or h in graph_store.chunks:
-                    continue
+                if graph_store.get_entity(h) is None or \
+                        graph_store.get_entity(t) is None:
+                    continue  # skip chunk endpoints
                 key = (h, typ, t)
                 if key in seen_keys:
                     continue
@@ -252,8 +252,8 @@ class PreLLMInjector:
             return ""
 
         def fmt(name: str) -> str:
-            ids = graph_store.entities.get(name, {}).get(
-                "source_chunk_ids") or []
+            props = graph_store.get_entity(name) or {}
+            ids = props.get("source_chunk_ids") or []
             sid = get_short_chunk_id(ids[0]) if ids else "?"
             return f"({name} / ID: {sid})"
 
@@ -289,8 +289,7 @@ class PreLLMInjector:
                 t0 = time.perf_counter()
                 top_similar = self._top_similar_existing(chunk_data,
                                                          graph_store)
-                logger.debug("Similarity pass over %d existing chunks in "
-                             "%.1f ms: %s", len(graph_store.chunks),
+                logger.debug("Similarity pass in %.1f ms: %s",
                              (time.perf_counter() - t0) * 1e3,
                              [(c, round(s, 3)) for c, s in top_similar])
                 for cid, _score in top_similar:

@@ -208,7 +208,7 @@ class RealtimeEngine:
                 "latency_ms": dt}
 
     def submit_query(self, stream_id: str, text: str) -> "asyncio.Future":
-        fut: asyncio.Future = asyncio.get_event_loop().create_future()
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
         self._pending_queries.put_nowait((stream_id, text, fut))
         return fut
 
