@@ -61,3 +61,45 @@ async def _run(engine, ingestor, sources):
     out = await simulate(engine, sources, video_seconds=6.0)
     await ingestor.flush()
     return out
+
+
+def test_live_hybrid_query_against_stream_graph():
+    """Attach the live KG to the engine: queries upgrade to full hybrid
+    retrieval (vector + fulltext + traversal) over the growing graph."""
+    cfg = PipelineConfig()
+    cfg.backend.llm = "local"
+    cfg.kg.batch_size = 2
+    cfg.llm_injector.subgraph_extraction_injection = False
+    cfg.retrieval.entity_first = False
+    cfg.retrieval.post_compression = False
+    cfg.retrieval.use_reranker = False
+    embed = make_embed_client("tpu", dim=64)
+    ingestor = LiveKGIngestor(
+        cfg, LocalChatClient(), embed,
+        store_factory=lambda sid: EmbeddedGraphStore(
+            sid, persist_dir=None, persist=False, dim=64))
+    spec = StreamSpec("cam0", fps=10.0, chunk_size_seconds=1.0,
+                      frames_per_chunk=3, height=48, width=64)
+    engine = RealtimeEngine([spec], embed_client=embed,
+                            vlm_client=LocalVLMClient(),
+                            retrieval_config=cfg.retrieval,
+                            kg_extractor=ingestor)
+
+    frame = np.zeros((48, 64, 3), np.uint8)
+    frame[8:40, 16:48] = (200, 30, 30)
+
+    def src():
+        while True:
+            yield frame
+
+    async def run():
+        await simulate(engine, {"cam0": src()}, video_seconds=5.0)
+        await ingestor.flush()
+        engine.attach_graph_store("cam0", ingestor.stores["cam0"])
+        return await engine.query("cam0", "is there a red shape object?")
+
+    res = asyncio.run(run())
+    assert res["retrieval"].startswith("Found results for")
+    assert "Related Entities" in res["retrieval"] or "Chunks (" \
+        in res["retrieval"]
+    ingestor.close()

@@ -192,10 +192,30 @@ class RealtimeEngine:
         return len(ready)
 
     # --------------------------------------------------------------- queries
+    def attach_graph_store(self, stream_id: str, store) -> None:
+        """Attach a live knowledge graph (e.g. from LiveKGIngestor): queries
+        for this stream upgrade from pure vector matching to full hybrid
+        retrieval (vector + fulltext + traversal) when retrieval_config is
+        set."""
+        self.stores[stream_id] = store
+
     async def query(self, stream_id: str, text: str, k: int = 3,
                     threshold: float = 0.1) -> Dict[str, Any]:
-        """Online retrieval against the live stream memory."""
+        """Online retrieval against the live stream memory; full hybrid
+        retrieval when a live graph store is attached."""
         t0 = time.perf_counter()
+        store = self.stores.get(stream_id)
+        if store is not None and self.retrieval_config is not None:
+            from ..pipeline.retriever_hybrid import HybridRetriever
+
+            retriever = HybridRetriever(self.retrieval_config, store,
+                                        self.embed, self.rerank,
+                                        output_file=None)
+            retrieval, _ = await retriever.perform_hybrid_retrieval(text)
+            dt = (time.perf_counter() - t0) * 1e3
+            self.query_latencies_ms.append(dt)
+            return {"query": text, "stream": stream_id,
+                    "retrieval": retrieval, "latency_ms": dt}
         qvec = await self.embed.aembed_query(text)
         hits = self.memories[stream_id].search(qvec[None], k=k,
                                                threshold=threshold)[0]
