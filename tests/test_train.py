@@ -9,7 +9,7 @@ from vidgraph_tpu.models.train import TrainState
 from vidgraph_tpu.models.vit import ViTConfig
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture  # function scope: step() donates the state's buffers
 def state(cpu_mesh):
     vit_cfg = ViTConfig(image_size=64, patch_size=32, width=64, layers=2,
                         heads=2, embed_dim=32, dtype=jnp.float32)
@@ -42,3 +42,23 @@ def test_param_shardings_on_mesh(state, cpu_mesh):
     head = state.params["cap"]["head_w"]
     assert all(s is None for s in tuple(head.sharding.spec)) or \
         len(tuple(head.sharding.spec)) == 0
+
+
+def test_sequence_parallel_loss_matches(state):
+    """Sequence-sharded tokens must produce the same loss as replicated
+    sequence (XLA inserts the gathers; numerics unchanged)."""
+    rng = np.random.default_rng(7)
+    images = rng.normal(size=(8, 64, 64, 3)).astype(np.float32)
+    tokens = batch_encode(["a green circle moves"] * 8, 16)
+    from vidgraph_tpu.models.train import caption_loss
+    i1, t1 = state.shard_batch(images, tokens, sequence_parallel=False)
+    i2, t2 = state.shard_batch(images, tokens, sequence_parallel=True)
+    assert tuple(t2.sharding.spec) == ("data", "model")
+    with state.mesh:
+        l1 = float(caption_loss(state.vit, state.params["vit"],
+                                state.params["cap"], state.cap_cfg,
+                                i1, t1))
+        l2 = float(caption_loss(state.vit, state.params["vit"],
+                                state.params["cap"], state.cap_cfg,
+                                i2, t2))
+    assert abs(l1 - l2) < 1e-4

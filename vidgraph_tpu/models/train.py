@@ -101,10 +101,16 @@ class TrainState:
                    params=params, opt_state=opt_state, tx=tx,
                    _step_fn=step_fn)
 
-    def shard_batch(self, images: np.ndarray, tokens: np.ndarray
+    def shard_batch(self, images: np.ndarray, tokens: np.ndarray,
+                    sequence_parallel: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
+        """Place a batch on the mesh: batch dim over "data"; with
+        ``sequence_parallel`` the token sequence dim is additionally split
+        over "model" (XLA all-gathers inside attention and keeps the
+        elementwise/embedding work sequence-sharded)."""
         img_s = NamedSharding(self.mesh, P("data", None, None, None))
-        tok_s = NamedSharding(self.mesh, P("data", None))
+        seq = "model" if sequence_parallel else None
+        tok_s = NamedSharding(self.mesh, P("data", seq))
         return (jax.device_put(jnp.asarray(images, jnp.float32), img_s),
                 jax.device_put(jnp.asarray(tokens, jnp.int32), tok_s))
 
