@@ -149,19 +149,16 @@ async def run_streams(args):
                                 api_key=config.llm_injector.api_key)
         ingestor = LiveKGIngestor(config, chat, embed)
 
-    specs, sources = [], {}
-    seconds = args.seconds
+    specs, sources, durations = [], {}, []
     for i, path in enumerate(args.videos):
         sid = f"stream{i}"
-        meta = probe_video(path)
+        durations.append(probe_video(path).duration_seconds)
         specs.append(StreamSpec(
             sid, fps=args.fps,
             chunk_size_seconds=config.video.chunk_size_seconds,
             frames_per_chunk=config.video.frames_per_chunk))
         sources[sid] = video_frame_source(path)
-        if seconds <= 0:
-            seconds = meta.duration_seconds if seconds <= 0 else \
-                min(seconds, meta.duration_seconds)
+    seconds = args.seconds if args.seconds > 0 else min(durations)
     engine = RealtimeEngine(specs, embed_client=embed, vlm_client=vlm,
                             kg_extractor=ingestor)
     queries = []
