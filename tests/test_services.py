@@ -139,3 +139,15 @@ def test_span_records_metric():
     with span("stage_x", m):
         pass
     assert "stage_x" in m.timings
+
+
+def test_device_trace_writes_profile(tmp_path):
+    import jax.numpy as jnp
+
+    from vidgraph_tpu.core.profiling import device_trace
+
+    with device_trace(str(tmp_path)):
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+    # a trace directory with at least one event file appears
+    files = list(tmp_path.rglob("*"))
+    assert any(f.is_file() for f in files)
