@@ -17,6 +17,28 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-tpu", action="store_true", default=False,
+        help="run tests marked 'tpu' — they subprocess onto the real chip "
+             "(exclusive device; never run two at once)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: exercises the real TPU in a subprocess; "
+                   "needs --run-tpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-tpu"):
+        return
+    skip = pytest.mark.skip(reason="needs --run-tpu (real TPU, exclusive)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def cpu_mesh():
     from vidgraph_tpu.parallel import host_cpu_mesh

@@ -102,8 +102,11 @@ def cosine_scores(query: jax.Array, store: jax.Array,
     is padded to a power-of-two row bucket to bound compile count.
     """
     if use_pallas is None:
-        use_pallas = query.devices() and all(
-            d.platform == "tpu" for d in query.devices())
+        if isinstance(query, jax.Array):
+            use_pallas = bool(query.devices()) and all(
+                d.platform == "tpu" for d in query.devices())
+        else:  # numpy/list input lands on the default backend
+            use_pallas = jax.default_backend() == "tpu"
     if store.shape[0] == 0:
         return jnp.zeros((query.shape[0], 0), jnp.float32)
     b = query.shape[0]
