@@ -151,3 +151,47 @@ def test_device_trace_writes_profile(tmp_path):
     # a trace directory with at least one event file appears
     files = list(tmp_path.rglob("*"))
     assert any(f.is_file() for f in files)
+
+
+# -- extractive answerer (round 2) -------------------------------------------
+
+def test_extractive_answer_multi_sentence_coverage():
+    from vidgraph_tpu.services.llm_client import extractive_answer
+
+    ctx = (
+        "Found results for 'q':\n"
+        "Chunks (3):\n"
+        "Time: 00:10-00:15 The person in the lab is wearing blue nitrile "
+        "gloves and holds a beaker.\n"
+        "Time: 00:15-00:20 A digital balance sits on the bench.\n"
+        "Time: 01:00-01:05 The person pours liquid into a flask.")
+    ans = extractive_answer(
+        "What color are the gloves worn by the person in the lab?", ctx)
+    assert "blue" in ans.lower()
+    # concise: must not dump the whole context
+    assert "pours liquid" not in ans
+
+
+def test_extractive_answer_preserves_decimals():
+    from vidgraph_tpu.services.llm_client import extractive_answer
+
+    ctx = "The display shows a reading of -56.301 g after taring the beaker."
+    ans = extractive_answer(
+        "What is the displayed reading on the balance when tared?", ctx)
+    assert "-56.301" in ans
+
+
+def test_extractive_answer_numeric_boost():
+    from vidgraph_tpu.services.llm_client import extractive_answer
+
+    ctx = ("The balance is measuring the final weight of the substance. "
+           "The final weight shown is 80.15 grams on the display.")
+    ans = extractive_answer(
+        "What is the final weight shown on the digital balance?", ctx)
+    assert "80.15" in ans
+
+
+def test_extractive_answer_empty_context():
+    from vidgraph_tpu.services.llm_client import extractive_answer
+
+    assert extractive_answer("What is shown?", "") == "I don't know."

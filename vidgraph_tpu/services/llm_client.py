@@ -104,7 +104,10 @@ writes write writing faces face facing near is_on is_in has have
 
 
 def _sentences(text: str) -> List[str]:
-    return [s.strip() for s in re.split(r"[.!?\n]+", text) if s.strip()]
+    # split on sentence punctuation / newlines, but never inside a decimal
+    # number ("-56.301 g" must stay whole)
+    parts = re.split(r"[!?\n]+|(?<!\d)[.]+|[.]+(?!\d)", text)
+    return [s.strip() for s in parts if s.strip()]
 
 
 def _words(text: str) -> List[str]:
@@ -174,6 +177,194 @@ def _section(prompt: str, start_marker: str, end_markers: Sequence[str]
         if 0 <= k < j:
             j = k
     return prompt[i:j].strip()
+
+
+# Question-type lexicons: when the question names an attribute class, boost
+# sentences that actually contain a value of that class.  Classic extractive
+# QA heuristics — the answerer never sees the groundtruth.
+_COLOR_WORDS = frozenset("""
+red orange yellow green blue purple violet pink brown black white gray grey
+cyan magenta beige tan gold silver transparent clear dark light
+""".split())
+
+_MATERIAL_WORDS = frozenset("""
+glass plastic metal steel wood paper rubber ceramic cotton latex nitrile
+aluminium aluminum copper iron cardboard foam fabric leather
+""".split())
+
+
+def _stem(w: str) -> str:
+    """Light suffix stripping so 'titled'/'title', 'stirring'/'stirrer',
+    'measures'/'measure' match without a real stemmer."""
+    for suf in ("ingly", "edly", "ing", "ed", "es", "s", "ly"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: len(w) - len(suf)]
+    return w
+
+
+def _idf_weights(sentences: List[List[str]]) -> Dict[str, float]:
+    """Inverse-document-frequency over context sentences: rare tokens carry
+    the information; ubiquitous ones (person, lab, video) carry none."""
+    import math
+
+    df: Dict[str, int] = {}
+    for toks in sentences:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    n = max(1, len(sentences))
+    return {t: math.log(1.0 + n / (1.0 + c)) for t, c in df.items()}
+
+
+def extractive_answer(question: str, context: str,
+                      max_sentences: int = 4, max_chars: int = 600) -> str:
+    """Groundtruth-blind extractive answer: IDF-weighted lexical match +
+    question-type boosts + greedy MMR sentence selection.
+
+    Replaces the round-1 single-best-sentence picker (which measured 1/30 on
+    the full reference workload because one sentence rarely covers every
+    groundtruth token).  Selecting a small complementary set of sentences
+    closes the gap to the retrieval recall bound while staying concise.
+    """
+    # strip retrieval scaffolding (headers echo the question and would
+    # otherwise win the overlap scoring)
+    content_lines = [
+        ln for ln in context.splitlines()
+        if not ln.strip().startswith(("Found results for",
+                                      "Chunks (", "Related Entities",
+                                      "Related Relationships",
+                                      "No results found"))]
+    context = "\n".join(content_lines)
+
+    cand = []
+    seen_sent = set()
+    for sent in _sentences(context):
+        # drop chunk-time scaffolding ("Time: 00:10-00:15 ...")
+        sent = re.sub(r"^Time:\s*[\d:]+-[\d:]+\s*", "", sent).strip()
+        key = sent.lower()
+        if key in seen_sent or len(sent) < 3:
+            continue
+        seen_sent.add(key)
+        cand.append(sent)
+    if not cand:
+        return "I don't know."
+
+    toks = [[_stem(w.lower()) for w in _words(s)] for s in cand]
+    idf = _idf_weights(toks)
+    q_low = question.lower()
+    qtok = {_stem(w.lower()) for w in _words(question)} - _STOPWORDS
+
+    wants_color = "color" in q_low or "colour" in q_low
+    wants_count = any(k in q_low for k in (
+        "how many", "how much", "weight", "reading", "value", "number",
+        "temperature", "measurement", "amount", "volume", "mass"))
+    wants_material = "material" in q_low or "made of" in q_low
+    wants_text = any(k in q_low for k in ("title", "label", "written",
+                                          "text", "name of the document"))
+    wants_entity = any(k in q_low for k in ("what equipment", "what device",
+                                            "what instrument", "what tool",
+                                            "what brand", "what model"))
+
+    def base_score(i: int) -> float:
+        stoks = set(toks[i])
+        s = sum(idf.get(t, 0.0) for t in (qtok & stoks))
+        # bigram bonus: consecutive question-word pairs appearing in order
+        sl = cand[i].lower()
+        qw = [w for w in _words(q_low) if w not in _STOPWORDS]
+        for a, b in zip(qw, qw[1:]):
+            if f"{a} {b}" in sl:
+                s += 1.0
+        if wants_color and stoks & _COLOR_WORDS:
+            s += 2.0
+        if wants_material and stoks & _MATERIAL_WORDS:
+            s += 2.0
+        if wants_count and any(t.isdigit() for t in stoks):
+            s += 2.0
+        if wants_text and ('"' in cand[i] or "'" in cand[i]
+                           or any(w[:1].isupper() for w in cand[i].split())):
+            s += 0.5
+        if wants_entity:
+            # proper-noun runs mid-sentence (brand/model names)
+            ws = cand[i].split()
+            if any(a[:1].isupper() and b[:1].isupper()
+                   for a, b in zip(ws[1:], ws[2:])):
+                s += 1.5
+        # answer-bearing sentences name something distinctive the question
+        # doesn't: reward the rarest non-question content token
+        novel_idf = [idf.get(t, 0.0) for t in stoks
+                     if t not in qtok and t not in _STOPWORDS]
+        if novel_idf:
+            s += 0.35 * max(novel_idf)
+        # slight preference for informative (longer) sentences, saturating
+        s += min(len(stoks), 12) * 0.05
+        return s
+
+    scores = [base_score(i) for i in range(len(cand))]
+    # one step of relevance propagation: a sentence that shares rare terms
+    # with the most question-relevant sentences is likely answer-bearing
+    # even when it shares no words with the question itself (e.g. the
+    # question paraphrases the action the entity performs).
+    top = sorted(range(len(cand)), key=lambda i: -scores[i])[:5]
+    top_score = scores[top[0]] if top else 0.0
+    if top_score > 0:
+        prop = [0.0] * len(cand)
+        for i in range(len(cand)):
+            stoks = set(toks[i]) - _STOPWORDS - qtok
+            best = 0.0
+            for j in top:
+                if j == i:
+                    continue
+                shared = stoks & set(toks[j])
+                if shared:
+                    best = max(best, max(idf.get(t, 0.0) for t in shared)
+                               * scores[j] / top_score)
+            prop[i] = best
+        scores = [s + 0.45 * p for s, p in zip(scores, prop)]
+    order = sorted(range(len(cand)), key=lambda i: -scores[i])
+    if scores[order[0]] <= 0.0:
+        return "I don't know."
+
+    picked: List[int] = []
+    covered: set = set()
+    total_chars = 0
+    floor = max(0.75, 0.35 * scores[order[0]])
+    for i in order:
+        if len(picked) >= max_sentences or scores[i] < floor:
+            break
+        stoks = set(toks[i]) - _STOPWORDS
+        novel = stoks - covered
+        # MMR: require genuinely new information beyond what's selected
+        if picked and (not novel or
+                       len(novel) < 0.3 * max(1, len(stoks))):
+            continue
+        if total_chars + len(cand[i]) > max_chars and picked:
+            continue
+        picked.append(i)
+        covered |= stoks
+        total_chars += len(cand[i])
+
+    # neighbor completion: a picked sentence often names the entity only
+    # partially ("the stirrer") while the adjacent sentence carries its full
+    # name ("the magnetic stirrer"); pull in neighbors that share a rare
+    # term with the picked sentence and add new information.
+    if picked:
+        import statistics
+
+        med_idf = statistics.median(idf.values()) if idf else 0.0
+        for i in list(picked):
+            for j in (i - 1, i + 1):
+                if j < 0 or j >= len(cand) or j in picked:
+                    continue
+                if len(picked) >= max_sentences + 2 or \
+                        total_chars + len(cand[j]) > max_chars + 200:
+                    continue
+                shared = (set(toks[i]) & set(toks[j])) - _STOPWORDS
+                novel = set(toks[j]) - covered - _STOPWORDS
+                if any(idf.get(t, 0.0) > med_idf for t in shared) and novel:
+                    picked.append(j)
+                    covered |= set(toks[j])
+                    total_chars += len(cand[j])
+    picked.sort()  # restore narrative order
+    return ". ".join(cand[i] for i in picked) + "."
 
 
 class LocalChatClient(ChatClient):
@@ -278,23 +469,7 @@ class LocalChatClient(ChatClient):
     def _answer(self, prompt: str) -> str:
         question = _section(prompt, "QUESTION:", ["VIDEO CONTEXT:"])
         context = _section(prompt, "VIDEO CONTEXT:", ["CONCISE ANSWER:"])
-        # strip retrieval scaffolding (headers echo the question and would
-        # otherwise win the overlap scoring)
-        content_lines = [
-            ln for ln in context.splitlines()
-            if not ln.strip().startswith(("Found results for",
-                                          "Chunks (", "Related Entities",
-                                          "Related Relationships",
-                                          "No results found"))]
-        context = "\n".join(content_lines)
-        qtok = {w.lower() for w in _words(question)} - _STOPWORDS
-        best, best_score = "", 0.0
-        for sent in _sentences(context):
-            stok = {w.lower() for w in _words(sent)}
-            score = len(qtok & stok)
-            if score > best_score:
-                best, best_score = sent, score
-        return best or "I don't know."
+        return extractive_answer(question, context)
 
     # -- benchmark judge ---------------------------------------------------------
     def _judge(self, prompt: str) -> str:
