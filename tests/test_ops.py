@@ -86,3 +86,18 @@ def test_patchify():
 def test_mesh_build(cpu_mesh):
     assert cpu_mesh.devices.size == 8
     assert cpu_mesh.axis_names == ("data", "model")
+
+
+def test_preprocess_fast_matches_exact_within_tolerance():
+    # the fast path (bf16 separable-matmul resize) must track the exact
+    # f32 gather resize closely enough that ViT embeddings are unaffected
+    # in practice
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(2, 96, 128, 3), dtype=np.uint8)
+    exact = np.asarray(preprocess_frames(jnp.asarray(frames), size=64))
+    fast = np.asarray(preprocess_frames(jnp.asarray(frames), size=64,
+                                        fast=True)).astype(np.float32)
+    # normalised pixels span ~[-2, 2.6]; bf16 + kernel-shape differences
+    # stay within a few percent of that range
+    assert np.abs(exact - fast).mean() < 0.1
+    assert np.abs(exact - fast).max() < 0.6

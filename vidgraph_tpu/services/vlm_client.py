@@ -121,7 +121,7 @@ class TPUVLMClient(VLMClient):
                 [stack, np.zeros((fbucket - total,) + stack.shape[1:],
                                  np.uint8)])
         x = preprocess_frames(jnp.asarray(stack),
-                              size=self.vit_cfg.image_size)
+                              size=self.vit_cfg.image_size, fast=True)
         emb = self._vit_apply(self.vit_params, x)[:total]
         prefixes = []
         off = 0
