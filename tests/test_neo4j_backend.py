@@ -1,0 +1,185 @@
+"""Behavioural coverage of the Bolt backend (VERDICT r1 item 4) against the
+in-memory fake driver (tests/fake_neo4j.py): MERGE idempotency, the
+three-rung merge ladder incl. force-delete, prunes, inter-chunk relations,
+vector/fulltext search, traversal, and export/import round-trip — the same
+contract the embedded store passes."""
+import numpy as np
+import pytest
+
+from vidgraph_tpu.core.config import Neo4jConfig
+
+from fake_neo4j import install
+
+
+def make_store(monkeypatch, **kw):
+    drv = install(monkeypatch, **kw)
+    from vidgraph_tpu.graph.neo4j_backend import Neo4jGraphStore
+
+    store = Neo4jGraphStore("test-uuid", Neo4jConfig())
+    return store, drv
+
+
+def _batch(store, triplets, chunks=None, operations=None, batch_idx=0):
+    batch = [{"time": "00:00-00:05", "content": "c"}]
+    return store.add_batch_to_graph(triplets, batch, batch_idx,
+                                    text_chunks=chunks,
+                                    operations=operations)
+
+
+TRIPLETS = [
+    {"head": "Person", "relation": "holds", "tail": "Beaker",
+     "source_chunks": ["u_0_0"]},
+    {"head": "Beaker", "relation": "is_on", "tail": "Balance",
+     "source_chunks": ["u_0_1"]},
+]
+CHUNKS = [
+    {"id": "u_0_0", "content": "a person holds a beaker", "index": 0,
+     "embedding": [1.0, 0.0, 0.0], "time": "00:00-00:05"},
+    {"id": "u_0_1", "content": "the beaker sits on a balance", "index": 1,
+     "embedding": [0.0, 1.0, 0.0], "time": "00:05-00:10"},
+]
+
+
+def test_merge_idempotent(monkeypatch):
+    store, drv = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    n1, r1 = store.get_node_count(), store.get_relationship_count()
+    _batch(store, TRIPLETS, CHUNKS)  # same batch again: MERGE, not CREATE
+    assert store.get_node_count() == n1 == 5   # 3 entities + 2 chunks
+    assert store.get_relationship_count() == r1 == 2
+    counts = store.get_chunk_counts()
+    assert counts == {"total_chunks": 2, "with_embedding": 2,
+                      "linked_chunks": 2}
+
+
+def test_source_chunk_ids_propagated(monkeypatch):
+    store, _ = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    ent = store.get_entity("Person")
+    assert "u_0_0" in ent["source_chunk_ids"]
+    assert store.entities_with_source_chunk("u_0_0") != []
+    assert "Person" in store.entities_of_chunk("u_0_0")
+
+
+def test_merge_ladder_apoc(monkeypatch):
+    store, drv = make_store(monkeypatch, supports_apoc=True)
+    _batch(store, TRIPLETS, CHUNKS)
+    ops = {"merge_instructions": [
+        {"local": "Person", "existing": "Beaker"}]}
+    _batch(store, [], None, operations=ops, batch_idx=1)
+    assert store.get_entity("Person") is None
+    assert store.get_entity("Beaker") is not None
+    # APOC path only: no manual-transfer UNION query was issued
+    assert not any("UNION ALL" in q for q, _ in drv.graph.queries)
+
+
+def test_merge_ladder_manual_transfer(monkeypatch):
+    store, drv = make_store(monkeypatch, supports_apoc=False)
+    _batch(store, TRIPLETS, CHUNKS)
+    ops = {"merge_instructions": [
+        {"local": "Person", "existing": "Balance"}]}
+    _batch(store, [], None, operations=ops, batch_idx=1)
+    assert store.get_entity("Person") is None
+    bal = store.get_entity("Balance")
+    assert bal is not None
+    assert bal.get("merged_from") == ["Person"]
+    # Person's "holds -> Beaker" edge must have been transferred
+    rels = store.relations_of_entity("Balance")
+    assert any(h == "Balance" and t == "Beaker" and typ == "HOLDS"
+               for h, typ, t, _ in rels)
+
+
+def test_merge_ladder_force_delete(monkeypatch):
+    # APOC and the manual transfer both fail -> third rung force-deletes
+    # the local duplicate so it can never linger
+    store, drv = make_store(monkeypatch, supports_apoc=False,
+                            fail_manual_merge=True)
+    _batch(store, TRIPLETS, CHUNKS)
+    ops = {"merge_instructions": [
+        {"local": "Person", "existing": "Balance"}]}
+    _batch(store, [], None, operations=ops, batch_idx=1)
+    assert store.get_entity("Person") is None
+    assert store.get_entity("Balance") is not None
+
+
+def test_prune_entity_and_relationship(monkeypatch):
+    store, _ = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    ops = {"prune_instructions": [
+        {"entity": "Balance"},
+        {"head": "Person", "relation": "holds", "tail": "Beaker"},
+    ]}
+    _batch(store, [], None, operations=ops, batch_idx=1)
+    assert store.get_entity("Balance") is None
+    assert not any(typ == "HOLDS"
+                   for _, typ, _, _ in store.relations_of_entity("Person"))
+
+
+def test_inter_chunk_relations_and_isolated_cleanup(monkeypatch):
+    store, _ = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    ops = {"inter_chunk_relations": [
+        ["Person", "observes", "Balance", ["u_0_1"]]]}
+    _batch(store, [], None, operations=ops, batch_idx=1)
+    rels = store.relations_of_entity("Person")
+    assert any(typ == "OBSERVES" and t == "Balance"
+               for _, typ, t, _ in rels)
+
+
+def test_vector_search(monkeypatch):
+    store, _ = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    hits = store.vector_search_chunks([1.0, 0.05, 0.0], top_k=2,
+                                      threshold=0.3)
+    assert hits and hits[0]["id"] == "u_0_0"
+    assert hits[0]["score"] > 0.9
+    ids, vecs = store.get_chunk_embeddings()
+    assert set(ids) == {"u_0_0", "u_0_1"} and vecs.shape == (2, 3)
+
+
+def test_fulltext_search(monkeypatch):
+    store, _ = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    hits = store.fulltext_search_entities("beaker on the bench", top_k=5)
+    assert hits and hits[0]["name"] == "Beaker"
+
+
+def test_traversal(monkeypatch):
+    store, _ = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    ents, chunks, rels = store.expand_entity_graph_with_chunks(
+        ["Person"], hops=2)
+    names = {e["name"] for e in ents}
+    assert "Beaker" in names and "Balance" in names
+    assert any(c["id"] == "u_0_0" for c in chunks)
+    assert any("HOLDS" in r["description"] for r in rels)
+
+
+def test_export_import_roundtrip(monkeypatch):
+    store, drv = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    data = store.export_data()
+    assert data["export_format_version"] == "1.0"
+    assert {"graph_uuid", "export_timestamp", "nodes",
+            "relationships"} <= set(data)
+    assert all("graph_uuid" not in n["properties"] for n in data["nodes"])
+
+    # import into a second store under a different uuid
+    from vidgraph_tpu.graph.neo4j_backend import Neo4jGraphStore
+    store2 = Neo4jGraphStore("other-uuid", Neo4jConfig())
+    store2._driver = drv  # share the fake database
+    store2.import_data(data)
+    assert store2.get_node_count() == store.get_node_count()
+    assert store2.get_entity("Person") is not None
+    hits = store2.vector_search_chunks([1.0, 0.0, 0.0], top_k=1,
+                                       threshold=0.3)
+    assert hits and hits[0]["id"] == "u_0_0"
+
+
+def test_chunk_and_entity_accessors(monkeypatch):
+    store, _ = make_store(monkeypatch)
+    _batch(store, TRIPLETS, CHUNKS)
+    c = store.get_chunk("u_0_0")
+    assert c and c["content"] == "a person holds a beaker"
+    assert store.get_chunk("missing") is None
+    assert store.verify_connection()

@@ -144,25 +144,7 @@ class Neo4jGraphStore(GraphStore):
             local, existing = m.get("local"), m.get("existing")
             if not local or not existing or local == existing:
                 continue
-            try:
-                self._run(
-                    "MATCH (l:Entity:GraphNode {name: $l, graph_uuid: $u}) "
-                    "MATCH (e:Entity:GraphNode {name: $e, graph_uuid: $u}) "
-                    "CALL apoc.refactor.mergeNodes([e, l], "
-                    "{properties: 'combine'}) YIELD node "
-                    "SET node.name = $e RETURN node",
-                    l=local, e=existing, u=self.graph_uuid)
-            except Exception as err:
-                logger.warning("APOC merge failed (%s -> %s): %s — "
-                               "falling back to detach-delete", local,
-                               existing, err)
-                try:
-                    self._run(
-                        "MATCH (l:Entity:GraphNode {name: $l, "
-                        "graph_uuid: $u}) DETACH DELETE l",
-                        l=local, u=self.graph_uuid)
-                except Exception as err2:
-                    logger.error("Merge fallback failed: %s", err2)
+            self._merge_entities(local, existing)
         for p in operations.get("prune_instructions") or []:
             try:
                 if "entity" in p and p.get("entity"):
@@ -200,6 +182,76 @@ class Neo4jGraphStore(GraphStore):
         self._run(
             "MATCH (n:Entity:GraphNode) WHERE n.graph_uuid = $u "
             "AND NOT (n)--() DETACH DELETE n", u=self.graph_uuid)
+
+    def _merge_entities(self, local: str, existing: str) -> None:
+        """Three-rung merge ladder, mirroring the reference
+        (src/components/neo4j_handler.py:474-566): APOC refactor merge ->
+        manual relationship/property transfer -> force-delete of the local
+        node so a failed merge can never leave a duplicate behind."""
+        try:
+            self._run(
+                "MATCH (l:Entity:GraphNode {name: $l, graph_uuid: $u}) "
+                "MATCH (e:Entity:GraphNode {name: $e, graph_uuid: $u}) "
+                "CALL apoc.refactor.mergeNodes([e, l], "
+                "{properties: 'combine'}) YIELD node "
+                "SET node.name = $e RETURN node",
+                l=local, e=existing, u=self.graph_uuid)
+            return
+        except Exception as err:
+            logger.warning("APOC merge failed (%s -> %s): %s — trying "
+                           "manual transfer", local, existing, err)
+        try:
+            # Transfer relationships one dynamic type at a time (Cypher
+            # cannot MERGE a dynamic relationship type without APOC).
+            rows = self._run(
+                "MATCH (l:Entity:GraphNode {name: $l, graph_uuid: $u})"
+                "-[r]->(t:GraphNode) "
+                "RETURN type(r) AS t, coalesce(t.name, t.id) AS other, "
+                "properties(r) AS p, true AS out "
+                "UNION ALL "
+                "MATCH (s:GraphNode)-[r]->"
+                "(l:Entity:GraphNode {name: $l, graph_uuid: $u}) "
+                "RETURN type(r) AS t, coalesce(s.name, s.id) AS other, "
+                "properties(r) AS p, false AS out",
+                l=local, u=self.graph_uuid)
+            for r in rows:
+                props = {k: v for k, v in dict(r["p"]).items()
+                         if k != "graph_uuid"}
+                if r["out"]:
+                    pat = (f"MATCH (e:Entity:GraphNode {{name: $e, "
+                           f"graph_uuid: $u}}) "
+                           f"MATCH (o:GraphNode {{graph_uuid: $u}}) "
+                           f"WHERE o.name = $o OR o.id = $o "
+                           f"MERGE (e)-[nr:`{rel_label(r['t'])}`]->(o) "
+                           f"SET nr += $p, nr.graph_uuid = $u")
+                else:
+                    pat = (f"MATCH (e:Entity:GraphNode {{name: $e, "
+                           f"graph_uuid: $u}}) "
+                           f"MATCH (o:GraphNode {{graph_uuid: $u}}) "
+                           f"WHERE o.name = $o OR o.id = $o "
+                           f"MERGE (o)-[nr:`{rel_label(r['t'])}`]->(e) "
+                           f"SET nr += $p, nr.graph_uuid = $u")
+                self._run(pat, e=existing, o=r["other"], u=self.graph_uuid,
+                          p=props)
+            # combine scalar props + source_chunk_ids, then drop the local
+            self._run(
+                "MATCH (l:Entity:GraphNode {name: $l, graph_uuid: $u}) "
+                "MATCH (e:Entity:GraphNode {name: $e, graph_uuid: $u}) "
+                "SET e.source_chunk_ids = coalesce(e.source_chunk_ids, []) "
+                "+ coalesce(l.source_chunk_ids, []), "
+                "e.merged_from = coalesce(e.merged_from, []) + $l "
+                "DETACH DELETE l",
+                l=local, e=existing, u=self.graph_uuid)
+            return
+        except Exception as err:
+            logger.warning("Manual merge failed (%s -> %s): %s — "
+                           "force-deleting local", local, existing, err)
+        try:
+            self._run(
+                "MATCH (l:Entity:GraphNode {name: $l, graph_uuid: $u}) "
+                "DETACH DELETE l", l=local, u=self.graph_uuid)
+        except Exception as err:
+            logger.error("Force-delete failed for %s: %s", local, err)
 
     # --------------------------------------------------------------- counts
     def get_node_count(self) -> int:
