@@ -142,6 +142,7 @@ def test_analyze_sweep_full(tmp_path):
     summary = {"epochs": [
         {"epoch": i, "accuracy": 0.2 + 0.03 * (i % 7),
          "avg_retrieval_time": 0.1 + 0.01 * i,
+         "elapsed_s": 30 + i,
          "params": {"chunk_size": 128 + 30 * i, "chunk_overlap": 8 + i,
                     "max_triplets_per_chunk": 3 + (i % 5),
                     "global_triplet_limit": 10 + i,
@@ -149,6 +150,27 @@ def test_analyze_sweep_full(tmp_path):
         for i in range(12)]}
     spath = tmp_path / "sweep_summary.json"
     spath.write_text(json.dumps(summary))
+    # per-epoch batch-metrics files drive the network-science figures
+    for i in range(12):
+        bm = [{"batch_idx": b, "total_time": 0.4 + 0.01 * b,
+               "network_metrics": {
+                   "node_count": 20 + 30 * b + i,
+                   "relationship_count": 25 + 40 * b + i,
+                   "density": 0.06 - 0.002 * b,
+                   "avg_degree": 2.5 + 0.1 * b,
+                   "clustering_coefficient": 0.3 + 0.01 * (i % 4),
+                   "avg_path_length": 2.4 + 0.05 * b,
+                   "global_efficiency": 0.4,
+                   "louvain_modularity": 0.4 + 0.01 * (i % 3),
+                   "louvain_communities": 5 + b,
+                   "graph_robustness": 0.9,
+                   "degree_assortativity": -0.3,
+                   "pagerank_top10_percent": 60.0,
+                   "label_entropy": 1.2 + 0.05 * b,
+                   "weakly_connected_components": 3}}
+              for b in range(6)]
+        (tmp_path / f"epoch_{i:03d}_batch_metrics.json").write_text(
+            json.dumps(bm))
     cmd = [sys.executable, str(REPO / "scripts" /
                                "analyze_parameter_sweep.py"),
            "--summary", str(spath), "--output-dir", str(tmp_path / "an")]
@@ -156,5 +178,14 @@ def test_analyze_sweep_full(tmp_path):
     assert proc.returncode == 0, proc.stderr
     analysis = json.loads((tmp_path / "an" / "analysis.json").read_text())
     assert analysis["optimal_config"]["accuracy"] is not None
-    assert (tmp_path / "an" / "sweep_analysis_report.md").exists()
-    assert (tmp_path / "an" / "accuracy_per_epoch.png").exists()
+    # the full suite: >= 10 figures incl. the network-science set and the
+    # Tukey HSD post-hoc table (reference :374,:908,:978,:1059,:1112)
+    assert len(analysis["figures"]) >= 10, analysis["figures"]
+    for name in ("small_world_analysis.png", "graph_size_scaling.png",
+                 "network_health_dashboard.png", "conference_figure.png",
+                 "accuracy_per_epoch.png"):
+        assert (tmp_path / "an" / name).exists(), name
+    assert analysis["tukey_hsd"], "tukey table missing"
+    assert analysis["ols"] and analysis["ols"]["r_squared"] is not None
+    report = (tmp_path / "an" / "sweep_analysis_report.md").read_text()
+    assert "Tukey HSD post-hoc" in report

