@@ -205,6 +205,82 @@ def _pagerank(adj_d: jax.Array, valid: jax.Array, iters: int = 50,
     return p
 
 
+@functools.partial(jax.jit, static_argnames=("levels", "iters"))
+def _louvain(adj_u: jax.Array, valid: jax.Array, key: jax.Array,
+             levels: int = 3, iters: int = 12,
+             resolution: float = 1.0):
+    """Parallel Louvain community detection as dense MXU matmuls.
+
+    Classic Louvain (reference: src/pipeline/acs_automata.py:219-233 via
+    NetworkX) is sequential greedy node moves + contraction.  The XLA
+    formulation replaces the sequential sweep with SYNCHRONOUS best-move
+    label updates applied to a random half of the nodes per iteration
+    (the standard damping trick against two-colour oscillation), then
+    contracts communities and repeats.  All inner steps are [N,N]
+    matmuls: S = A @ C (node->community weights), tot = k @ C (community
+    degrees), gain = S - res * k_i (tot_c - k_i C_ic) / 2m.
+
+    Returns (labels [N] int32 over original nodes, modularity f32,
+    n_communities f32) — modularity evaluated on the ORIGINAL graph.
+    """
+    n = adj_u.shape[0]
+    vmask = valid[:, None] * valid[None, :]
+    a0 = adj_u * vmask
+    k0 = a0.sum(axis=1)
+    two_m = a0.sum()
+    safe_two_m = jnp.maximum(two_m, 1e-9)
+    neg = jnp.float32(-1e30)
+
+    def local_move(a, key):
+        # degrees/volume of the CURRENT (possibly contracted) graph; the
+        # contraction C^T A C already doubles internal weight on the
+        # diagonal, so the plain row sum IS the community degree.
+        # (Dropping the diagonal instead made every merge look free and
+        # collapsed the partition to one community.)
+        diag = jnp.diag(a)
+        k = a.sum(axis=1)
+        lvl_two_m = jnp.maximum(a.sum(), 1e-9)
+        labels0 = jnp.arange(n, dtype=jnp.int32)
+
+        def body(labels, it_key):
+            c = jax.nn.one_hot(labels, n, dtype=jnp.float32)
+            s = (a - jnp.diag(diag)) @ c   # edges to c, self-loop excluded
+            tot = k @ c
+            gain = s - resolution * k[:, None] * \
+                (tot[None, :] - k[:, None] * c) / lvl_two_m
+            # only neighbour communities (s>0) and the current one are
+            # candidate targets, as in sequential Louvain
+            cand = (s > 0) | (c > 0)
+            gain = jnp.where(cand, gain, neg)
+            best = jnp.argmax(gain, axis=1).astype(jnp.int32)
+            upd = jax.random.bernoulli(it_key, 0.5, (n,)) & (valid > 0)
+            return jnp.where(upd, best, labels), 0
+
+        labels, _ = jax.lax.scan(body, labels0,
+                                 jax.random.split(key, iters))
+        return labels
+
+    glob = jnp.arange(n, dtype=jnp.int32)   # original node -> community
+    a = a0
+    for li in range(levels):
+        key, sub = jax.random.split(key)
+        lab = local_move(a, sub)
+        glob = lab[glob]
+        c = jax.nn.one_hot(lab, n, dtype=jnp.float32)
+        a = c.T @ a @ c  # self-loops carry internal community weight
+
+    # modularity of the final partition on the original graph
+    cg = jax.nn.one_hot(glob, n, dtype=jnp.float32) * valid[:, None]
+    within = jnp.diag(cg.T @ a0 @ cg)
+    tot = k0 @ cg
+    q = jnp.where(two_m > 0,
+                  (within.sum() - resolution * (tot ** 2).sum()
+                   / safe_two_m) / safe_two_m, 0.0)
+    sizes = cg.sum(axis=0)
+    n_comms = (sizes > 0).sum().astype(jnp.float32)
+    return glob, q, n_comms
+
+
 class ACSAutomata:
     def __init__(self, graph_store, config: Optional[ACSConfig] = None
                  ) -> None:
@@ -374,11 +450,15 @@ class ACSAutomata:
         # ---- louvain ---------------------------------------------------------
         louvain_communities, louvain_modularity = 0, 0.0
         try:
-            Gu = _G().to_undirected()
-            comms = nx.community.louvain_communities(Gu, seed=42)
-            louvain_communities = len(comms)
-            louvain_modularity = nx.community.modularity(Gu, comms) \
-                if Gu.number_of_edges() else 0.0
+            if backend == "xla" and n >= 2:
+                louvain_communities, louvain_modularity = \
+                    self._louvain_xla(adj)
+            else:
+                Gu = _G().to_undirected()
+                comms = nx.community.louvain_communities(Gu, seed=42)
+                louvain_communities = len(comms)
+                louvain_modularity = nx.community.modularity(Gu, comms) \
+                    if Gu.number_of_edges() else 0.0
         except Exception as e:
             logger.warning("Louvain computation failed: %s", e)
 
@@ -541,6 +621,21 @@ class ACSAutomata:
         valid[:n] = 1.0
         pr = np.asarray(_pagerank(jnp.asarray(a), jnp.asarray(valid)))
         return pr[:n]
+
+    def _louvain_xla(self, adj: np.ndarray):
+        """Undirected parallel Louvain on device; returns
+        (n_communities, modularity) matching the NetworkX call's outputs."""
+        n = adj.shape[0]
+        pad = _pad_dim(n)
+        und = np.minimum(adj + adj.T, 1.0)
+        a = np.zeros((pad, pad), np.float32)
+        a[:n, :n] = und
+        np.fill_diagonal(a, 0.0)
+        valid = np.zeros(pad, np.float32)
+        valid[:n] = 1.0
+        _, q, n_comms = _louvain(jnp.asarray(a), jnp.asarray(valid),
+                                 jax.random.PRNGKey(42))
+        return int(n_comms), float(q)
 
     # -- entropy ------------------------------------------------------------------
     def _label_entropy(self) -> float:
