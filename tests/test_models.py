@@ -90,3 +90,56 @@ def test_hash_embedder_deterministic_and_empty():
     z = e1.embed([""])
     assert z.shape == (1, 64)
     assert e1.embed([]).shape == (0, 64)
+
+
+# -- trained text embedder (round 2) -----------------------------------------
+
+def test_transformer_embedder_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+    from vidgraph_tpu.models.checkpoint import save_params
+    from vidgraph_tpu.models.text_embedder import TransformerTextEmbedder
+
+    a = TransformerTextEmbedder(dim=32, width=32, layers=1, heads=2,
+                                max_len=32, seed=3)
+    path = tmp_path / "emb.npz"
+    save_params(a._params, str(path))
+    b = TransformerTextEmbedder(dim=32, width=32, layers=1, heads=2,
+                                max_len=32, seed=99,
+                                checkpoint_path=str(path))
+    va = a.embed(["a red beaker", "the person measures"])
+    vb = b.embed(["a red beaker", "the person measures"])
+    assert np.allclose(va, vb, atol=1e-5)
+    # L2-normalised
+    assert np.allclose(np.linalg.norm(va, axis=1), 1.0, atol=1e-3)
+
+
+def test_transformer_embedder_pad_invariance():
+    # the pad mask must make embeddings independent of batch padding
+    import numpy as np
+    from vidgraph_tpu.models.text_embedder import TransformerTextEmbedder
+
+    e = TransformerTextEmbedder(dim=32, width=32, layers=1, heads=2,
+                                max_len=32, seed=0)
+    solo = e.embed(["short text"])
+    e._cache.clear()
+    batch = e.embed(["short text", "a much longer sentence that fills "
+                                   "more of the window"])
+    assert np.allclose(solo[0], batch[0], atol=1e-4)
+
+
+def test_hybrid_embedder_composition():
+    import numpy as np
+    from vidgraph_tpu.models.text_embedder import (HashedNGramEmbedder,
+                                                   HybridEmbedder)
+
+    h = HybridEmbedder(dim=32, ctx_weight=0.25, width=32, layers=1,
+                       heads=2, max_len=32)
+    v = h.embed(["the beaker on the balance"])
+    assert v.shape == (1, 64)
+    # cosine decomposes: hash channel carries (1-w) of the norm
+    hn = np.linalg.norm(v[0, :32]) ** 2
+    cn = np.linalg.norm(v[0, 32:]) ** 2
+    assert abs(hn - 0.75) < 0.02 and abs(cn - 0.25) < 0.02
+    # identical text -> cosine 1; hash channel dominates lexical overlap
+    ref = HashedNGramEmbedder(dim=32).embed(["the beaker on the balance"])
+    assert np.allclose(v[0, :32] / np.sqrt(0.75), ref[0], atol=1e-4)

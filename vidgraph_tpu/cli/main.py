@@ -139,7 +139,8 @@ async def run_streams(args):
                               dim=config.embedding_memory.dim,
                               endpoint=config.embedder.endpoint,
                               model=config.embedder.model,
-                              api_key=config.embedder.api_key)
+                              api_key=config.embedder.api_key,
+            checkpoint_path=config.embedder.checkpoint_path)
     vlm = make_vlm_client(config.backend.vlm, config.vlm)
     ingestor = None
     if args.live_kg:

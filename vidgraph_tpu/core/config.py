@@ -88,6 +88,9 @@ class EmbedderConfig(_Model):
     endpoint: str = "http://localhost:8071/v1"
     api_key: str = ""
     model: str = "qwen-embedding"
+    # trained-weights checkpoint for backend.embedder: transformer
+    # (scripts/train_text_embedder.py writes the .npz + sidecar .json)
+    checkpoint_path: str = ""
     top_k_chunk_with_batch_similarity: int = 3
     top_k_similar_batch: int = 2
 

@@ -133,42 +133,130 @@ class HashedNGramEmbedder:
         return self.embed([text])[0]
 
 
+def encoder_forward(params, cfg, tokens: jax.Array) -> jax.Array:
+    """Bidirectional byte-level encoder: tokens [B,T] -> [B, dim] L2-normed.
+
+    Reuses the captioner's transformer blocks with a per-example padding
+    mask instead of the causal mask (``_block`` accepts 4-D masks);
+    mean-pools the final hidden states over non-pad positions and projects
+    through a trained output matrix.  ``params`` = {"enc": captioner-style
+    param dict, "out_w": [width, dim]}.
+    """
+    from .captioner import _block, _ln
+
+    enc = params["enc"]
+    b, t = tokens.shape
+    x = enc["tok_emb"][tokens] + enc["pos_emb"][:t][None]
+    pad = tokens == tokenizer.PAD_ID
+    mask = jnp.where(pad[:, None, None, :], jnp.float32(-1e30), 0.0)
+    for bp in enc["blocks"]:
+        x = _block(bp, cfg, x, mask)
+    x = _ln(x, enc["ln_f_scale"], enc["ln_f_bias"])
+    keep = (~pad).astype(jnp.float32)[..., None]
+    pooled = (x * keep).sum(1) / jnp.maximum(keep.sum(1), 1.0)
+    return l2_normalize(pooled @ params["out_w"])
+
+
 class TransformerTextEmbedder:
-    """Byte-level transformer encoder, mean-pooled to [dim]."""
+    """Byte-level bidirectional transformer encoder, mean-pooled to [dim].
+
+    Interface-complete with random weights; load a contrastively trained
+    checkpoint (scripts/train_text_embedder.py) via ``checkpoint_path``.
+    """
 
     def __init__(self, dim: int = 512, width: int = 256, layers: int = 4,
-                 heads: int = 4, max_len: int = 512, seed: int = 0,
-                 dtype: Any = jnp.bfloat16) -> None:
-        from .captioner import CaptionerConfig, init_params
+                 heads: int = 4, max_len: int = 128, seed: int = 0,
+                 dtype: Any = jnp.bfloat16,
+                 checkpoint_path: str = "") -> None:
+        from .captioner import CaptionerConfig
         self.dim = dim
         self.max_len = max_len
         self._cfg = CaptionerConfig(
             width=width, layers=layers, heads=heads,
             vision_dim=width, num_vision_tokens=1, max_len=max_len + 1,
             dtype=dtype)
-        self._params = init_params(self._cfg, seed=seed)
-        rng = np.random.default_rng(seed + 1)
-        self._out_proj = jnp.asarray(rng.normal(
-            0, 1 / np.sqrt(dim), size=(width, dim)).astype(np.float32))
-        self._fwd = jax.jit(self._run)
-
-    def _run(self, tokens: jax.Array) -> jax.Array:
-        from .captioner import forward
-        b = tokens.shape[0]
-        vis = jnp.zeros((b, 1, self._cfg.width), jnp.float32)
-        # Contextual features = output logits; mean-pool over non-pad tokens.
-        feats = forward(self._params, self._cfg, vis, tokens)
-        mask = (tokens != tokenizer.PAD_ID).astype(jnp.float32)[..., None]
-        pooled = (feats * mask).sum(1) / jnp.maximum(mask.sum(1), 1.0)
-        # project vocab-sized features down via slicing matmul
-        pooled = pooled[:, :self._out_proj.shape[0]]
-        return l2_normalize(pooled @ self._out_proj)
+        self._params = init_encoder_params(self._cfg, dim, seed)
+        if checkpoint_path:
+            from .checkpoint import load_params
+            self._params = load_params(self._params, checkpoint_path)
+        self._fwd = jax.jit(
+            lambda p, t: encoder_forward(p, self._cfg, t))
+        self._cache: dict = {}
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), np.float32)
-        toks = tokenizer.batch_encode(list(texts), self.max_len)
-        return np.asarray(self._fwd(jnp.asarray(toks)))
+        out = np.empty((len(texts), self.dim), np.float32)
+        miss_i, miss_t = [], []
+        for i, t in enumerate(texts):
+            hit = self._cache.get(t)
+            if hit is not None:
+                out[i] = hit
+            else:
+                miss_i.append(i)
+                miss_t.append(t)
+        if miss_t:
+            toks = tokenizer.batch_encode(miss_t, self.max_len)
+            # power-of-two batch bucket: bounded compile count
+            n = toks.shape[0]
+            nb = 8
+            while nb < n:
+                nb *= 2
+            if nb != n:
+                toks = np.concatenate(
+                    [toks, np.full((nb - n, toks.shape[1]),
+                                   tokenizer.PAD_ID, toks.dtype)])
+            vecs = np.asarray(self._fwd(self._params,
+                                        jnp.asarray(toks)))[:n]
+            if len(self._cache) > 200_000:
+                self._cache.clear()
+            for i, t, v in zip(miss_i, miss_t, vecs):
+                out[i] = v
+                self._cache[t] = v
+        return out
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self.embed([text])[0]
+
+
+def init_encoder_params(cfg, dim: int, seed: int = 0):
+    from .captioner import init_params
+    enc = init_params(cfg, seed=seed)
+    enc.pop("head_w", None)       # decoder head unused by the encoder
+    enc.pop("vis_proj_w", None)
+    enc.pop("vis_proj_b", None)
+    rng = np.random.default_rng(seed + 1)
+    out_w = jnp.asarray(rng.normal(
+        0, 1 / np.sqrt(cfg.width), size=(cfg.width, dim)).astype(np.float32))
+    return {"enc": enc, "out_w": out_w}
+
+
+class HybridEmbedder:
+    """Lexical ⊕ semantic: concatenates a weighted HashedNGramEmbedder
+    vector with a trained TransformerTextEmbedder vector, so cosine
+    similarity decomposes as (1-w)·cos_hash + w·cos_ctx.
+
+    Measured on the reference 30-question workload (docs/EVAL.md): ties
+    the pure hash embedder's full-recall at w=0.15 — the benchmark's
+    all-token-recall criterion is intrinsically lexical, so the semantic
+    channel is kept as a low-weight tiebreaker rather than a replacement.
+    """
+
+    def __init__(self, dim: int = 512, ctx_weight: float = 0.15,
+                 checkpoint_path: str = "", **tr_kw) -> None:
+        self._hash = HashedNGramEmbedder(dim=dim)
+        self._ctx = TransformerTextEmbedder(
+            dim=dim, checkpoint_path=checkpoint_path, **tr_kw)
+        self.dim = 2 * dim   # concatenated channels
+        self._wh = float(np.sqrt(1.0 - ctx_weight))
+        self._wc = float(np.sqrt(ctx_weight))
+
+    def embed(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        h = self._hash.embed(texts) * self._wh
+        c = self._ctx.embed(texts) * self._wc
+        return np.concatenate([h, c], axis=1)
 
     def embed_query(self, text: str) -> np.ndarray:
         return self.embed([text])[0]
@@ -179,4 +267,6 @@ def make_embedder(kind: str = "hash", dim: int = 512, **kw):
         return HashedNGramEmbedder(dim=dim, **kw)
     if kind == "transformer":
         return TransformerTextEmbedder(dim=dim, **kw)
+    if kind == "hybrid":
+        return HybridEmbedder(dim=dim, **kw)
     raise ValueError(f"unknown embedder kind: {kind}")

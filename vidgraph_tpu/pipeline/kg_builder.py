@@ -54,7 +54,8 @@ class KGBuilder:
         self.embed = embed_client or make_embed_client(
             b.embedder, dim=config.embedding_memory.dim,
             endpoint=config.embedder.endpoint, model=config.embedder.model,
-            api_key=config.embedder.api_key)
+            api_key=config.embedder.api_key,
+            checkpoint_path=config.embedder.checkpoint_path)
         self.rerank = rerank_client
         if self.rerank is None and config.retrieval.use_reranker:
             self.rerank = make_rerank_client(

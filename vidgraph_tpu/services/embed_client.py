@@ -80,11 +80,27 @@ class HttpEmbedClient(EmbedClient):
 
 
 def make_embed_client(kind: str, dim: int = 512, endpoint: str = "",
-                      model: str = "", api_key: str = "") -> EmbedClient:
+                      model: str = "", api_key: str = "",
+                      checkpoint_path: str = "") -> EmbedClient:
     if kind in ("tpu", "hash"):
         return TPUEmbedClient("hash", dim=dim)
-    if kind == "transformer":
-        return TPUEmbedClient("transformer", dim=dim)
+    if kind in ("transformer", "hybrid"):
+        kw = {}
+        if checkpoint_path:
+            # sidecar meta json records the trained architecture
+            import json
+            from pathlib import Path
+
+            meta_path = Path(checkpoint_path).with_suffix(".json")
+            if meta_path.exists():
+                meta = json.loads(meta_path.read_text())
+                kw = {k: meta[k] for k in
+                      ("width", "layers", "heads", "max_len") if k in meta}
+                dim = meta.get("dim", dim)
+            kw["checkpoint_path"] = checkpoint_path
+        client = TPUEmbedClient(kind, dim=dim, **kw)
+        client.dim = client._impl.dim   # hybrid concatenates channels
+        return client
     if kind == "http":
         return HttpEmbedClient(endpoint, model, api_key)
     raise ValueError(f"unknown embedder backend: {kind}")

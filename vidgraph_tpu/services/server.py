@@ -39,7 +39,8 @@ class VideoMemoryServer:
         self.port = port
         self.embed = make_embed_client(
             self.config.backend.embedder,
-            dim=self.config.embedding_memory.dim)
+            dim=self.config.embedding_memory.dim,
+            checkpoint_path=self.config.embedder.checkpoint_path)
         self._EmbeddingStore = EmbeddingStore
         self.memories: Dict[str, Any] = {}
         self.chunk_meta: Dict[str, Dict[str, Dict[str, Any]]] = {}
