@@ -132,6 +132,7 @@ def main() -> None:
     cap = _captioner_decode()
     rt = _realtime_factor()
     big_ms = _large_store_topk_ms()
+    acs_ms = _acs_metrics_ms()
 
     print(json.dumps({
         "metric": "online_retrieval_p50_ms",
@@ -149,6 +150,7 @@ def main() -> None:
         "captioner_mbu": cap["mbu"],
         "realtime_8x30fps_factor": round(rt, 2),
         "large_store_topk_ms": round(big_ms, 3),
+        "acs_full_metrics_ms_926n": round(acs_ms, 1),
         "baseline_retrieval_ms": BASELINE_RETRIEVAL_MS,
     }))
 
@@ -254,6 +256,34 @@ def _large_store_topk_ms() -> float:
     dt = time.perf_counter() - t0
     assert hits[0]
     return dt / reps / 16 * 1e3  # ms per query
+
+
+def _acs_metrics_ms() -> float:
+    """Full ACS network-metric pass (one fused device dispatch: distance
+    family, exact Brandes betweenness, clustering, PageRank, assortativity,
+    robustness, device Louvain) on a 926-node graph — the reference runs
+    this per KG batch via NetworkX (~0.8-1.5 s at this size)."""
+    import networkx as nx
+    import numpy as np
+
+    from vidgraph_tpu.core.config import ACSConfig
+    from vidgraph_tpu.pipeline.acs import ACSAutomata
+
+    G = nx.barabasi_albert_graph(926, 2, seed=0)
+    adj = nx.to_numpy_array(G).astype(np.float32)
+    names = [f"n{i}" for i in range(926)]
+    acs = ACSAutomata.__new__(ACSAutomata)
+    acs.config = ACSConfig()
+    acs.store = type("S", (), {"entities": {n: {} for n in names},
+                               "chunks": {}})()
+    acs._compute(names, adj, "xla")   # compile/warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        m = acs._compute(names, adj, "xla")
+    dt = time.perf_counter() - t0
+    assert m["node_count"] == 926
+    return dt / reps * 1e3
 
 
 def _realtime_factor() -> float:

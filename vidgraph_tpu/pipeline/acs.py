@@ -58,33 +58,42 @@ def _pad_dim(n: int) -> int:
 def _distance_matrix(adj_u: jax.Array, valid: jax.Array, max_steps: int):
     """All-pairs shortest-path hop counts via boolean-matmul BFS.
 
-    adj_u: [N,N] f32 symmetric 0/1 (undirected, no self loops, padded)
+    adj_u: [N,N] f32 0/1 (directed or undirected, no self loops, padded)
     valid: [N] f32 0/1 node mask
     Returns D [N,N] f32 with hop counts, +inf where unreachable/invalid.
+
+    Runs as a ``lax.while_loop`` that exits as soon as the reachability
+    frontier stops growing — real KG graphs have diameter ~6-15, so this
+    does ~diameter matmuls instead of the static ``max_steps`` (=128)
+    the round-1 scan always paid.
     """
     n = adj_u.shape[0]
     eye = jnp.eye(n, dtype=jnp.float32)
     vmask = valid[:, None] * valid[None, :]
-    reach = (eye + adj_u) * vmask
-    reach = jnp.minimum(reach, 1.0)
-    dist = jnp.where(eye > 0, 0.0, jnp.where(adj_u * vmask > 0, 1.0, jnp.inf))
+    reach0 = jnp.minimum((eye + adj_u) * vmask, 1.0)
+    dist0 = jnp.where(eye > 0, 0.0,
+                      jnp.where(adj_u * vmask > 0, 1.0, jnp.inf))
 
-    def body(carry, k):
-        reach, dist = carry
+    def cond(carry):
+        _, _, k, grew = carry
+        return (k <= max_steps + 1) & grew
+
+    def body(carry):
+        reach, dist, k, _ = carry
         new_reach = jnp.minimum(reach + reach @ adj_u, 1.0) * vmask
         newly = (new_reach > 0) & (reach == 0)
         dist = jnp.where(newly, k.astype(jnp.float32), dist)
-        return (new_reach, dist), 0
+        return (new_reach, dist, k + 1, newly.any())
 
-    (reach, dist), _ = jax.lax.scan(body, (reach, dist),
-                                    jnp.arange(2, max_steps + 2))
+    _, dist, _, _ = jax.lax.while_loop(
+        cond, body, (reach0, dist0, jnp.int32(2), jnp.bool_(True)))
     return jnp.where(vmask > 0, dist, jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
-def _betweenness(adj_d: jax.Array, valid: jax.Array, max_steps: int):
-    """Exact all-pairs betweenness centrality (Brandes) as dense level-
-    synchronised matmuls on the directed graph.
+def _betweenness_sweeps(adj_d: jax.Array, valid: jax.Array,
+                        dist: jax.Array, max_steps: int):
+    """Brandes forward/backward sweeps given precomputed hop distances.
 
     Forward sweep: sigma[s,v] (shortest-path counts) built level by level
     with sigma_k = (sigma_{k-1} @ A) masked to D==k.  Backward sweep:
@@ -92,28 +101,14 @@ def _betweenness(adj_d: jax.Array, valid: jax.Array, max_steps: int):
     masked to D==k.  bc[v] = sum_s delta[s,v], normalised by
     1/((n-1)(n-2)) (networkx directed convention, endpoints excluded).
 
-    The reference could only afford k<=100 SAMPLED betweenness through
-    NetworkX (reference: src/pipeline/acs_automata.py:144-151); on the MXU
-    the exact computation is O(diameter) N^2 matmuls.
+    ``max_steps`` is the bucketed measured eccentricity (see
+    ``_betweenness``), not a blanket cap — the sweeps cost
+    O(eccentricity) [N,N] matmuls, ~8x fewer than the round-1 static 128.
     """
     n = adj_d.shape[0]
     vmask = valid[:, None] * valid[None, :]
     a = adj_d * vmask
     eye = jnp.eye(n, dtype=jnp.float32)
-
-    # directed hop distances
-    reach = jnp.minimum(eye + a, 1.0) * vmask
-    dist = jnp.where(eye > 0, 0.0, jnp.where(a > 0, 1.0, jnp.inf))
-
-    def dbody(carry, k):
-        reach, dist = carry
-        new_reach = jnp.minimum(reach + reach @ a, 1.0) * vmask
-        newly = (new_reach > 0) & (reach == 0)
-        dist = jnp.where(newly, k.astype(jnp.float32), dist)
-        return (new_reach, dist), 0
-
-    (_, dist), _ = jax.lax.scan(dbody, (reach, dist),
-                                jnp.arange(2, max_steps + 2))
 
     # forward: path counts per level
     def sbody(sigma, k):
@@ -140,6 +135,33 @@ def _betweenness(adj_d: jax.Array, valid: jax.Array, max_steps: int):
     n_valid = valid.sum()
     denom = jnp.maximum((n_valid - 1.0) * (n_valid - 2.0), 1.0)
     return jnp.where(valid > 0, bc / denom, 0.0)
+
+
+def _bucket_steps(k: int) -> int:
+    """Power-of-two step bucket >= max(8, k): bounds distinct jit shapes."""
+    b = 8
+    while b < k:
+        b *= 2
+    return b
+
+
+def _betweenness(adj_d: jax.Array, valid: jax.Array, max_steps: int):
+    """Exact all-pairs betweenness (Brandes) as dense level-synchronised
+    matmuls: directed hop distances via the early-exit BFS, then sweeps
+    bounded by the MEASURED max finite level (bucketed).
+
+    The reference could only afford k<=100 SAMPLED betweenness through
+    NetworkX (reference: src/pipeline/acs_automata.py:144-151); on the MXU
+    the exact computation is O(eccentricity) N^2 matmuls.
+    """
+    vmask = valid[:, None] * valid[None, :]
+    a = adj_d * vmask
+    dist = _distance_matrix(a, valid, max_steps)
+    dist = jnp.where(jnp.isinf(dist), jnp.float32(-1.0), dist)
+    lvl = int(jnp.max(dist))                      # host sync, one scalar
+    steps = min(max_steps, _bucket_steps(max(1, lvl)))
+    dist = jnp.where(dist < 0, jnp.inf, dist)
+    return _betweenness_sweeps(a, valid, dist, steps)
 
 
 @jax.jit
@@ -281,6 +303,101 @@ def _louvain(adj_u: jax.Array, valid: jax.Array, key: jax.Array,
     return glob, q, n_comms
 
 
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _acs_fused(src: jax.Array, dst: jax.Array, w: jax.Array,
+               valid: jax.Array, keep: jax.Array, key: jax.Array,
+               pad: int):
+    """Every XLA graph metric in ONE dispatch, fed by an EDGE LIST.
+
+    The per-metric kernels are individually correct but, through a
+    tunnelled chip (~5 MB/s), each call pays a fresh multi-MB dense
+    adjacency upload plus a dispatch round-trip.  This kernel uploads the
+    edge list (KBs — src/dst indices padded to a power-of-two length with
+    zero-weight entries), scatters the dense adjacency ON DEVICE, computes
+    everything, and returns only scalars.  ``keep`` is the host-seeded
+    robustness retention mask.
+    """
+    n = pad
+    adj_d = jnp.zeros((pad, pad), jnp.float32).at[src, dst].max(w)
+    vmask = valid[:, None] * valid[None, :]
+    a = adj_d * vmask
+    u = jnp.minimum(a + a.T, 1.0)
+    n_valid = valid.sum()
+    eye = jnp.eye(n, dtype=jnp.float32)
+    offdiag = (1.0 - eye) * vmask
+
+    # ---- undirected distance family -----------------------------------
+    du = _distance_matrix(u, valid, n)
+    finite = jnp.isfinite(du) & (vmask > 0)
+    inv = jnp.where(finite & (offdiag > 0), 1.0 / jnp.maximum(du, 1e-9), 0.0)
+    eff = inv.sum() / jnp.maximum(n_valid * (n_valid - 1.0), 1.0)
+    sizes = (finite.astype(jnp.float32)).sum(axis=1) * valid
+    wcc_count = jnp.where(valid > 0, 1.0 / jnp.maximum(sizes, 1.0), 0.0).sum()
+    largest = sizes.max()
+    r0 = jnp.argmax(sizes)
+    member = finite[r0].astype(jnp.float32) * valid
+    mm = member[:, None] * member[None, :] * offdiag
+    in_cc = (mm > 0) & finite
+    apl_num = jnp.where(in_cc, du, 0.0).sum()
+    apl_den = in_cc.astype(jnp.float32).sum()
+    apl = apl_num / jnp.maximum(apl_den, 1.0)
+    diam = jnp.where(in_cc, du, 0.0).max()
+
+    # ---- betweenness (directed, exact Brandes via while_loop sweeps) ---
+    dd = _distance_matrix(a, valid, n)
+    dd_f = jnp.where(jnp.isinf(dd), -1.0, dd)
+    lvl = jnp.maximum(dd_f.max(), 1.0)
+
+    def fwd_cond(c):
+        return c[1] <= lvl
+
+    def fwd_body(c):
+        sigma, k = c
+        prev = sigma * (dd == k - 1.0)
+        return sigma + (prev @ a) * (dd == k), k + 1.0
+
+    sigma, _ = jax.lax.while_loop(fwd_cond, fwd_body, (eye, jnp.float32(1.0)))
+
+    def bwd_cond(c):
+        return c[1] >= 1.0
+
+    def bwd_body(c):
+        delta, k = c
+        contrib = jnp.where(dd == k + 1.0,
+                            (1.0 + delta) / jnp.maximum(sigma, 1.0), 0.0)
+        return delta + sigma * (contrib @ a.T) * (dd == k), k - 1.0
+
+    delta, _ = jax.lax.while_loop(bwd_cond, bwd_body,
+                                  (jnp.zeros_like(sigma), lvl))
+    bc = jnp.sum(delta, axis=0)
+    denom = jnp.maximum((n_valid - 1.0) * (n_valid - 2.0), 1.0)
+    bc = jnp.where(valid > 0, bc / denom, 0.0)
+    avg_bt = bc.sum() / jnp.maximum(n_valid, 1.0)
+    max_bt = bc.max()
+
+    # ---- the remaining per-metric kernels (inlined into this jit) -----
+    clustering = _directed_clustering(adj_d, valid)
+    pr = _pagerank(adj_d, valid)
+    top10, _ = jax.lax.top_k(pr, 10)
+    pr_total = pr.sum()
+    pagerank_top10 = jnp.where(pr_total > 0,
+                               top10.sum() / pr_total * 100.0, 0.0)
+    assort = _assortativity(adj_d, valid)
+    m_edges = a.sum()
+    robustness = jnp.where(
+        m_edges > 0,
+        (a * keep[:, None] * keep[None, :]).sum() / jnp.maximum(m_edges, 1.0),
+        1.0)
+    _, louvain_q, louvain_k = _louvain(u, valid, key)
+
+    # one stacked f32 vector = ONE device->host fetch (13 separate scalar
+    # fetches would cost 13 tunnel round trips)
+    return jnp.stack([
+        eff, apl, diam.astype(jnp.float32), wcc_count, largest,
+        avg_bt, max_bt, clustering, pagerank_top10, assort, robustness,
+        louvain_k, louvain_q])
+
+
 class ACSAutomata:
     def __init__(self, graph_store, config: Optional[ACSConfig] = None
                  ) -> None:
@@ -353,8 +470,46 @@ class ACSAutomata:
         u_deg = und.sum(axis=1)
         avg_unique_neighbors = float(u_deg.mean()) if n else 0.0
 
+        # ---- fused XLA path: ONE device dispatch for every heavy metric ---
+        fused = None
+        if backend == "xla" and n >= 3 and m > 0:
+            try:
+                pad = _pad_dim(n)
+                rows, cols = np.nonzero(adj)
+                e = len(rows)
+                e_pad = 128
+                while e_pad < e:
+                    e_pad *= 2
+                src = np.zeros(e_pad, np.int32)
+                dst = np.zeros(e_pad, np.int32)
+                w = np.zeros(e_pad, np.float32)
+                src[:e] = rows
+                dst[:e] = cols
+                w[:e] = 1.0         # padding entries scatter weight 0
+                v_p = np.zeros(pad, np.float32)
+                v_p[:n] = 1.0
+                keep = np.ones(pad, np.float32)
+                if n > 10:
+                    k = int(self.config.robustness_removal_fraction * n)
+                    rng = random.Random(42)
+                    for i in rng.sample(range(n), min(k, n)):
+                        keep[i] = 0.0
+                vals = _acs_fused(jnp.asarray(src), jnp.asarray(dst),
+                                  jnp.asarray(w), jnp.asarray(v_p),
+                                  jnp.asarray(keep),
+                                  jax.random.PRNGKey(42), pad)
+                fused = [float(v) for v in np.asarray(vals)]
+            except Exception as e:
+                logger.warning("Fused ACS kernel failed, falling back to "
+                               "per-metric path: %s", e)
+
         # ---- distance-matrix family -------------------------------------
-        if n >= 2:
+        if fused is not None:
+            eff, apl, diam = fused[0], fused[1], int(fused[2])
+            wcc_count, largest_wcc = int(round(fused[3])), int(fused[4])
+            if largest_wcc < 2:
+                apl = None
+        elif n >= 2:
             if backend == "xla":
                 eff, apl, diam, wcc_count, largest_wcc = \
                     self._distance_family_xla(adj, und)
@@ -383,7 +538,9 @@ class ACSAutomata:
 
         # ---- betweenness: exact XLA Brandes, or nx sampled (reference) ----
         try:
-            if backend == "xla" and n >= 3:
+            if fused is not None:
+                avg_bt, max_bt = fused[5], fused[6]
+            elif backend == "xla" and n >= 3:
                 bc = self._betweenness_xla(adj)
                 avg_bt = float(bc.mean())
                 max_bt = float(bc.max())
@@ -396,7 +553,9 @@ class ACSAutomata:
             avg_bt = max_bt = 0.0
 
         try:
-            if backend == "xla" and m > 0:
+            if fused is not None:
+                assort = fused[9]
+            elif backend == "xla" and m > 0:
                 pad = _pad_dim(n)
                 a = np.zeros((pad, pad), np.float32)
                 a[:n, :n] = adj
@@ -413,7 +572,9 @@ class ACSAutomata:
 
         # ---- robustness: seeded 10% node removal, edge-retention ratio ----
         try:
-            if n > 10 and m > 0:
+            if fused is not None and n > 10:
+                robustness = fused[10]
+            elif n > 10 and m > 0:
                 k = int(self.config.robustness_removal_fraction * n)
                 rng = random.Random(42)
                 removed = set(rng.sample(range(n), min(k, n)))
@@ -426,7 +587,9 @@ class ACSAutomata:
 
         # ---- clustering (directed, as nx.average_clustering on DiGraph) ---
         try:
-            if backend == "xla" and n >= 2:
+            if fused is not None:
+                clustering = fused[7]
+            elif backend == "xla" and n >= 2:
                 clustering = float(self._clustering_xla(adj))
             else:
                 clustering = nx.average_clustering(_G())
@@ -435,22 +598,29 @@ class ACSAutomata:
 
         # ---- pagerank top-10 mass ------------------------------------------
         try:
-            if backend == "xla" and n >= 2:
+            if fused is not None:
+                pagerank_top10 = fused[8]
+            elif backend == "xla" and n >= 2:
                 pr = self._pagerank_xla(adj)
+                total = pr.sum()
+                pagerank_top10 = float(np.sort(pr)[::-1][:10].sum()
+                                       / total * 100.0) if total > 0 else 0.0
             else:
                 pr = np.asarray(list(nx.pagerank(_G()).values())) \
                     if n else np.zeros(0)
-            total = pr.sum()
-            top10 = np.sort(pr)[::-1][:10].sum()
-            pagerank_top10 = float(top10 / total * 100.0) if total > 0 \
-                else 0.0
+                total = pr.sum()
+                pagerank_top10 = float(np.sort(pr)[::-1][:10].sum()
+                                       / total * 100.0) if total > 0 else 0.0
         except Exception:
             pagerank_top10 = 0.0
 
         # ---- louvain ---------------------------------------------------------
         louvain_communities, louvain_modularity = 0, 0.0
         try:
-            if backend == "xla" and n >= 2:
+            if fused is not None:
+                louvain_communities = int(round(fused[11]))
+                louvain_modularity = fused[12]
+            elif backend == "xla" and n >= 2:
                 louvain_communities, louvain_modularity = \
                     self._louvain_xla(adj)
             else:

@@ -216,7 +216,8 @@ def _idf_weights(sentences: List[List[str]]) -> Dict[str, float]:
 
 
 def extractive_answer(question: str, context: str,
-                      max_sentences: int = 4, max_chars: int = 600) -> str:
+                      max_sentences: int = 4, max_chars: int = 600,
+                      sem_fn=None) -> str:
     """Groundtruth-blind extractive answer: IDF-weighted lexical match +
     question-type boosts + greedy MMR sentence selection.
 
@@ -299,6 +300,16 @@ def extractive_answer(question: str, context: str,
         return s
 
     scores = [base_score(i) for i in range(len(cand))]
+    if sem_fn is not None and len(cand) > 1:
+        # optional semantic channel (e.g. the trained text encoder):
+        # z-scored similarity added at a fraction of the lexical scale, so
+        # it re-ranks near-ties without overruling exact term matches
+        sem = list(map(float, sem_fn(question, cand)))
+        mu = sum(sem) / len(sem)
+        sd = (sum((s - mu) ** 2 for s in sem) / len(sem)) ** 0.5 or 1.0
+        top = max(scores) or 1.0
+        scores = [s + 0.20 * top * (v - mu) / sd
+                  for s, v in zip(scores, sem)]
     # one step of relevance propagation: a sentence that shares rare terms
     # with the most question-relevant sentences is likely answer-bearing
     # even when it shares no words with the question itself (e.g. the
