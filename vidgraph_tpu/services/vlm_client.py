@@ -112,6 +112,22 @@ class TPUVLMClient(VLMClient):
 
         stack = np.concatenate([np.stack(c).astype(np.uint8)
                                 for c in chunks], axis=0)
+        # Host pre-resize when frames dwarf the vision-tower input: a raw
+        # 720p frame is 2.7 MB while the 224^2 input is 150 KB — on a
+        # tunnelled chip (~5 MB/s H2D) shipping raw frames costs ~0.5 s
+        # each, and even host-attached it's 18x needless DMA.  The device
+        # fast-resize path still handles moderate downscales.
+        size = self.vit_cfg.image_size
+        if stack.shape[1] * stack.shape[2] > 4 * size * size:
+            try:
+                import cv2
+
+                stack = np.stack([
+                    cv2.resize(f, (size, size),
+                               interpolation=cv2.INTER_AREA)
+                    for f in stack]).astype(np.uint8)
+            except ImportError:
+                pass
         total = stack.shape[0]
         fbucket = 8
         while fbucket < total:
