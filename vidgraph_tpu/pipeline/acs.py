@@ -37,7 +37,9 @@ from ..core.logger import get_logger
 
 logger = get_logger("acs_automata")
 
-_AUTO_XLA_MIN_NODES = 192
+# crossover: the fused XLA pass is ~35 ms flat (one dispatch) while the
+# NetworkX pass grows with the graph; below ~96 nodes NetworkX still wins
+_AUTO_XLA_MIN_NODES = 96
 
 
 # ---------------------------------------------------------------------------
@@ -474,12 +476,16 @@ class ACSAutomata:
         fused = None
         if backend == "xla" and n >= 3 and m > 0:
             try:
-                pad = _pad_dim(n)
                 rows, cols = np.nonzero(adj)
                 e = len(rows)
-                e_pad = 128
-                while e_pad < e:
-                    e_pad *= 2
+                # ONE compile per graph-size bucket: e_pad is a fixed
+                # function of the node pad, and the node pad grows if the
+                # edge count would overflow it (a larger pad is always
+                # valid — the masks handle it)
+                pad = _pad_dim(n)
+                while 4 * pad < e:
+                    pad *= 2
+                e_pad = 4 * pad
                 src = np.zeros(e_pad, np.int32)
                 dst = np.zeros(e_pad, np.int32)
                 w = np.zeros(e_pad, np.float32)
