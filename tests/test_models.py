@@ -143,3 +143,23 @@ def test_hybrid_embedder_composition():
     # identical text -> cosine 1; hash channel dominates lexical overlap
     ref = HashedNGramEmbedder(dim=32).embed(["the beaker on the balance"])
     assert np.allclose(v[0, :32] / np.sqrt(0.75), ref[0], atol=1e-4)
+
+
+def test_int8_vit_matches_f32_tower():
+    # documented-dead-end module (see vit_quant.py docstring): numerics
+    # must stay faithful even though it is not wired into any backend
+    import numpy as np
+    from vidgraph_tpu.models.vit import ViTConfig, init_vision_tower
+    from vidgraph_tpu.models.vit_quant import (quantize_vit_params,
+                                               vit_forward_int8)
+
+    cfg = ViTConfig(image_size=64, patch_size=32, width=64, layers=2,
+                    heads=2, embed_dim=32, dtype=jnp.float32)
+    model, params = init_vision_tower(cfg, seed=0)
+    qp = quantize_vit_params(params, cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(3, 64, 64, 3)).astype(np.float32))
+    ref = np.asarray(model.apply(params, imgs))
+    got = np.asarray(vit_forward_int8(qp, cfg, imgs))
+    cos = (ref * got).sum(axis=1)
+    assert cos.min() > 0.995, cos
