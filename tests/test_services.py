@@ -195,3 +195,19 @@ def test_extractive_answer_empty_context():
     from vidgraph_tpu.services.llm_client import extractive_answer
 
     assert extractive_answer("What is shown?", "") == "I don't know."
+
+
+def test_extractive_answer_semantic_hook():
+    # optional semantic channel re-ranks near-ties without overruling
+    # exact matches
+    from vidgraph_tpu.services.llm_client import extractive_answer
+
+    ctx = ("The device stirs the mixture continuously. "
+           "A person stands near the window.")
+
+    def sem_fn(q, sents):
+        # pretend the first sentence is semantically closest
+        return [1.0 if "stirs" in s else 0.0 for s in sents]
+
+    ans = extractive_answer("What mixes the contents?", ctx, sem_fn=sem_fn)
+    assert "stirs" in ans

@@ -374,6 +374,9 @@ def extractive_answer(question: str, context: str,
                     picked.append(j)
                     covered |= set(toks[j])
                     total_chars += len(cand[j])
+    if not picked:  # every candidate under the floor: take the best one
+        picked = [order[0]]
+        covered = set(toks[order[0]])
     picked.sort()  # restore narrative order
     return ". ".join(cand[i] for i in picked) + "."
 
