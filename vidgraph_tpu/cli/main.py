@@ -147,7 +147,8 @@ async def run_streams(args):
         chat = make_chat_client(config.backend.llm,
                                 endpoint=config.llm_injector.endpoint,
                                 model=config.llm_injector.model_name,
-                                api_key=config.llm_injector.api_key)
+                                api_key=config.llm_injector.api_key,
+            checkpoint_path=config.llm_injector.checkpoint_path)
         ingestor = LiveKGIngestor(config, chat, embed)
 
     specs, sources, durations = [], {}, []

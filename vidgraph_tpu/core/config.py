@@ -47,6 +47,9 @@ class LLMInjectorConfig(_Model):
     temperature: float = 0.05
     top_p: float = 0.9
     max_tokens: int = 8192
+    # trained byte-LM weights for backend.llm: tpu
+    # (scripts/train_caption_lm.py)
+    checkpoint_path: str = ""
     # When true, pre-extraction runs the chunk<->existing-graph similarity
     # path and refinement becomes instruction-based (4-op output).
     subgraph_extraction_injection: bool = False

@@ -31,7 +31,8 @@ class BenchmarkEvaluator:
         b = config.benchmark_llm
         self.chat = chat_client or make_chat_client(
             config.backend.llm, endpoint=b.endpoint, model=b.model_name,
-            api_key=b.api_key)
+            api_key=b.api_key,
+            checkpoint_path=config.llm_injector.checkpoint_path)
 
     async def evaluate_retrieval_results(self, results_path: str,
                                          output_path: str) -> Dict[str, Any]:

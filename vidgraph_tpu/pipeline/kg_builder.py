@@ -50,7 +50,8 @@ class KGBuilder:
         self.chat = chat_client or make_chat_client(
             b.llm, endpoint=config.llm_injector.endpoint,
             model=config.llm_injector.model_name,
-            api_key=config.llm_injector.api_key)
+            api_key=config.llm_injector.api_key,
+            checkpoint_path=config.llm_injector.checkpoint_path)
         self.embed = embed_client or make_embed_client(
             b.embedder, dim=config.embedding_memory.dim,
             endpoint=config.embedder.endpoint, model=config.embedder.model,

@@ -496,12 +496,23 @@ class LocalChatClient(ChatClient):
 
 
 class TPUChatClient(ChatClient):
-    """Serves completions from the in-process byte-level LM on TPU."""
+    """Serves completions from the in-process byte-level LM on TPU.
 
-    def __init__(self, cfg=None, params=None, max_prompt_bytes: int = 768):
+    Load domain weights via ``checkpoint_path``
+    (scripts/train_caption_lm.py); with random weights the client is
+    interface-complete only.
+    """
+
+    def __init__(self, cfg=None, params=None, max_prompt_bytes: int = 768,
+                 checkpoint_path: str = ""):
         from ..models.captioner import CaptionerConfig, init_params
         self.cfg = cfg or CaptionerConfig.base()
         self.params = params if params is not None else init_params(self.cfg)
+        if checkpoint_path:
+            from ..models.checkpoint import load_params
+            self.params = load_params(self.params, checkpoint_path)
+            logger.info("Loaded TPU chat LM weights from %s",
+                        checkpoint_path)
         self.max_prompt_bytes = max_prompt_bytes
 
     async def complete(self, prompt, system=None, temperature=0.0,
@@ -527,11 +538,12 @@ class TPUChatClient(ChatClient):
 
 
 def make_chat_client(kind: str, endpoint: str = "", model: str = "",
-                     api_key: str = "", **kw) -> ChatClient:
+                     api_key: str = "", checkpoint_path: str = "",
+                     **kw) -> ChatClient:
     if kind == "http":
         return HttpChatClient(endpoint, model, api_key, **kw)
     if kind == "local":
         return LocalChatClient()
     if kind == "tpu":
-        return TPUChatClient()
+        return TPUChatClient(checkpoint_path=checkpoint_path)
     raise ValueError(f"unknown llm backend: {kind}")
