@@ -184,3 +184,18 @@ def test_online_scheduled_retrieval(workdir, config, vlm_output):
     assert len(recs) == 1
     assert recs[0]["query"] == "What color is the object?"
     assert recs[0]["retrieval"].startswith("Found results for ")
+
+
+def test_ask_via_cli(built_graph, config, workdir, capsys):
+    from vidgraph_tpu.cli.main import main
+    uuid, _ = built_graph
+    import yaml
+    cfg_path = workdir / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(config.to_dict()))
+    assert main(["ask", "--config", str(cfg_path), "--graph-uuid", uuid,
+                 "--query", "What color is the first object?"]) == 0
+    out = capsys.readouterr().out
+    assert "Answered in" in out
+    # the answer line precedes the timing line and is non-empty prose
+    answer = out.strip().splitlines()[0]
+    assert len(answer) > 3

@@ -60,6 +60,23 @@ async def run_offline_retrieval(config_path: str, graph_uuid: str,
         retriever.close()
 
 
+async def run_ask(config_path: str, graph_uuid: str, query: str):
+    """Retrieve + answer in one shot (new convenience command — the
+    reference required retrieve -> benchmark round-trips through files)."""
+    from ..pipeline.retriever import OfflineRetriever
+    from ..services.llm_client import extractive_answer
+
+    config = PipelineConfig.from_yaml(config_path)
+    retriever = OfflineRetriever(config, graph_uuid)
+    try:
+        result = await retriever.retrieve(query, "", None)
+        answer = extractive_answer(query, result["retrieval"])
+        print(answer)
+        return f"{result['retrieval_time']:.3f}s"
+    finally:
+        retriever.close()
+
+
 async def run_batch_offline_retrieval(config_path: str, graph_uuid: str,
                                       input_path: str, output_path: str):
     from ..pipeline.retriever import OfflineRetriever
@@ -206,6 +223,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--groundtruth")
     p.add_argument("--true_chunks", nargs="*")
 
+    p = sub.add_parser("ask", help="Retrieve + answer a question in one "
+                       "step (extractive answerer)")
+    p.add_argument("--config", required=True)
+    p.add_argument("--graph-uuid", required=True)
+    p.add_argument("--query", required=True)
+
     p = sub.add_parser("batch-retrieve",
                        help="Run batch offline retrieval from JSON file")
     p.add_argument("--config", required=True)
@@ -293,6 +316,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.config, args.graph_uuid, args.query, args.groundtruth,
             true_chunks))
         print(f"Retrieval completed: {result}")
+    elif args.command == "ask":
+        result = asyncio.run(run_ask(args.config, args.graph_uuid,
+                                     args.query))
+        print(f"Answered in {result}")
     elif args.command == "batch-retrieve":
         result = asyncio.run(run_batch_offline_retrieval(
             args.config, args.graph_uuid, args.input, args.output))
