@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 import re
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 # cl100k-style pre-tokenizer, stdlib-re approximation of the public pattern
 _PRETOK = re.compile(
