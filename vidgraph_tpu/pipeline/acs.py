@@ -231,7 +231,7 @@ def _pagerank(adj_d: jax.Array, valid: jax.Array, iters: int = 50,
 
 @functools.partial(jax.jit, static_argnames=("levels", "iters"))
 def _louvain(adj_u: jax.Array, valid: jax.Array, key: jax.Array,
-             levels: int = 3, iters: int = 12,
+             levels: int = 3, iters: int = 20,
              resolution: float = 1.0):
     """Parallel Louvain community detection as dense MXU matmuls.
 
