@@ -24,12 +24,22 @@ def test_native_matches_numpy_exactly():
 def test_native_is_faster():
     texts = [f"sentence number {i} about a {c} object on the bench"
              for i, c in enumerate(["red", "blue", "green"] * 200)]
-    t0 = time.perf_counter()
+    # warm both paths (first native call may build the extension; first
+    # numpy call warms caches), then take best-of-3 to dodge load spikes
     native.ngram_counts_batch(texts, 4096)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
     np.stack([_ngram_hashes(t, 4096) for t in texts])
-    t_numpy = time.perf_counter() - t0
+
+    def best_of(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_native = best_of(lambda: native.ngram_counts_batch(texts, 4096))
+    t_numpy = best_of(
+        lambda: np.stack([_ngram_hashes(t, 4096) for t in texts]))
     # The native path must not be slower; typically it is >5x faster.
     assert t_native < t_numpy
 

@@ -139,9 +139,8 @@ class EmbeddingStore:
             with self._lock:
                 store = self._device_store()
                 count = self._count
-            valid = jnp.arange(self.capacity) < count
             vals, idx = cosine_topk(jnp.asarray(q), store, k=kk,
-                                    valid=valid)
+                                    valid_count=count)
             vals = np.asarray(vals)
             idx = np.asarray(idx)
         out: List[List[Tuple[str, float]]] = []

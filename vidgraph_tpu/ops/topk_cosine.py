@@ -124,30 +124,95 @@ def cosine_scores(query: jax.Array, store: jax.Array,
     return scores
 
 
+_TOPK_TILE = 8192
+_TWO_STAGE_MIN = 65536
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _masked_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    return jax.lax.top_k(scores, k)
+    """Top-k over the row axis; two-stage (per-tile then across tile
+    winners) above ``_TWO_STAGE_MIN`` rows — ``lax.top_k`` over a flat
+    1M-wide axis measured 56 ms while the scoring matmul itself takes
+    ~7 ms; tiling cuts the sort to ~1 ms."""
+    b, n = scores.shape
+    if n < _TWO_STAGE_MIN or k > _TOPK_TILE:
+        return jax.lax.top_k(scores, k)
+    n_pad = -(-n // _TOPK_TILE) * _TOPK_TILE
+    if n_pad != n:   # padded rows carry the mask sentinel, never win
+        scores = jnp.concatenate(
+            [scores, jnp.full((b, n_pad - n), _NEG, scores.dtype)], axis=1)
+    t = n_pad // _TOPK_TILE
+    tiled = scores.reshape(b, t, _TOPK_TILE)
+    v1, i1 = jax.lax.top_k(tiled, k)              # [b, t, k]
+    v2, i2 = jax.lax.top_k(v1.reshape(b, t * k), k)   # [b, k]
+    tile_idx = i2 // k
+    within = jnp.take_along_axis(
+        i1.reshape(b, t * k), i2, axis=1)
+    return v2, (tile_idx * _TOPK_TILE + within).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _fused_cosine_topk(query: jax.Array, store: jax.Array,
+                       valid: jax.Array, k: int, use_pallas: bool):
+    """Score + mask + top-k in ONE jit: through a tunnelled chip each
+    separate dispatch costs a ~20 ms round trip, which dominated 1M-row
+    searches (3 dispatches = ~60 ms for ~7 ms of compute)."""
+    if use_pallas:
+        scores = _pallas_scores(query, store)
+    else:
+        scores = _jnp_scores(query, store)
+    scores = jnp.where(valid[None, :], scores, _NEG)
+    return _masked_topk(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _fused_cosine_topk_count(query: jax.Array, store: jax.Array,
+                             count: jax.Array, k: int, use_pallas: bool):
+    """As ``_fused_cosine_topk`` but the validity mask is derived from a
+    scalar row count INSIDE the jit — building the [N]-bool mask outside
+    was itself a per-call device dispatch."""
+    valid = jnp.arange(store.shape[0]) < count
+    return _fused_cosine_topk(query, store, valid, k, use_pallas)
 
 
 def cosine_topk(query: jax.Array, store: jax.Array, k: int,
                 valid: Optional[jax.Array] = None,
                 use_pallas: Optional[bool] = None,
+                valid_count: Optional[int] = None,
                 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k cosine matches: returns (scores [B,k], indices [B,k]).
 
     Rows masked invalid come back with score <= -1e30; callers filter on a
     score threshold (the reference used >0.3 for chunk vector search).
+    Prefer ``valid_count`` (first-N-rows-valid) over a ``valid`` mask
+    array on hot paths — the mask is then built inside the fused jit.
     """
-    scores = cosine_scores(query, store, valid, use_pallas)
-    n = scores.shape[1]
+    if use_pallas is None:
+        if isinstance(query, jax.Array):
+            use_pallas = bool(query.devices()) and all(
+                d.platform == "tpu" for d in query.devices())
+        else:
+            use_pallas = jax.default_backend() == "tpu"
+    n = store.shape[0]
+    b = query.shape[0]
     if n == 0:
-        b = scores.shape[0]
         return (jnp.full((b, k), _NEG, jnp.float32),
                 jnp.zeros((b, k), jnp.int32))
     kk = min(k, n)
-    vals, idx = _masked_topk(scores, kk)
+    bb = _bucket_rows(b)
+    if bb != b:   # power-of-two query bucket: bounded compile count
+        query = jnp.concatenate(
+            [query, jnp.zeros((bb - b, query.shape[1]), query.dtype)])
+    if valid_count is not None:
+        vals, idx = _fused_cosine_topk_count(
+            query, store, jnp.int32(valid_count), kk, bool(use_pallas))
+    else:
+        if valid is None:
+            valid = jnp.ones((n,), bool)
+        vals, idx = _fused_cosine_topk(query, store, valid, kk,
+                                       bool(use_pallas))
+    vals, idx = vals[:b], idx[:b]
     if kk < k:
-        b = scores.shape[0]
         vals = jnp.concatenate(
             [vals, jnp.full((b, k - kk), _NEG, jnp.float32)], axis=1)
         idx = jnp.concatenate(
