@@ -310,6 +310,9 @@ def _realtime_factor() -> float:
         while True:
             yield frame
 
+    # warmup pass: any fresh jit shapes compile here, not in the timed run
+    asyncio.run(simulate(engine, {f"cam{i}": src() for i in range(8)},
+                         video_seconds=1.0))
     out = asyncio.run(simulate(engine, {f"cam{i}": src()
                                         for i in range(8)},
                                video_seconds=8.0))
