@@ -310,8 +310,12 @@ def _realtime_factor() -> float:
         while True:
             yield frame
 
-    # warmup pass: any fresh jit shapes compile here, not in the timed run
-    asyncio.run(simulate(engine, {f"cam{i}": src() for i in range(8)},
+    # warmup on a THROWAWAY engine: fresh jit shapes compile here, and the
+    # timed engine starts with empty buffers
+    warm_engine = RealtimeEngine(
+        specs, embed_client=make_embed_client("tpu", dim=512),
+        vlm_client=LocalVLMClient())
+    asyncio.run(simulate(warm_engine, {f"cam{i}": src() for i in range(8)},
                          video_seconds=1.0))
     out = asyncio.run(simulate(engine, {f"cam{i}": src()
                                         for i in range(8)},
