@@ -172,8 +172,9 @@ class EmbeddingStore:
         with self._lock:
             store = self._device_store()
             count = self._count
-        valid = jnp.arange(self.capacity) < count
-        s = cosine_scores(jnp.asarray(q), store, valid)
+        # no validity mask needed: the slice below drops unwritten rows,
+        # and building the mask was an extra device dispatch
+        s = cosine_scores(jnp.asarray(q), store)
         return np.asarray(s[:, :count])
 
     # -- persistence ---------------------------------------------------------
