@@ -12,13 +12,16 @@ entropy, and computational time.  The graph is all GraphNodes of the run
 FROM_CHUNK), as a simple digraph.
 
 TPU-native redesign: instead of pulling the whole graph into NetworkX every
-batch, the distance-matrix family (efficiency / path length / diameter /
-components) and PageRank run as dense XLA linear algebra — BFS by repeated
-boolean matmul on the MXU, PageRank by power iteration — and are EXACT at
-every size (the reference falls back to 100-source sampling above 500
-nodes).  Betweenness and Louvain keep a NetworkX path (no clean XLA
-formulation); ``acs.backend`` selects ``networkx`` / ``xla`` / ``auto``
-(auto = XLA once the graph outgrows the device-dispatch overhead).
+batch, EVERY metric runs as dense XLA linear algebra in ONE fused
+edge-list-fed dispatch (``_acs_fused``): BFS by repeated boolean matmul on
+the MXU, exact all-pairs Brandes betweenness as while-loop matmul sweeps,
+Fagiolo directed clustering, power-iteration PageRank, and parallel
+Louvain (synchronous best-move + contraction, 94.5-100% of NetworkX
+modularity) — all EXACT at every size where the reference falls back to
+sampling.  ``acs.backend`` selects ``networkx`` / ``xla`` / ``auto``
+(auto = XLA once the graph outgrows the device-dispatch overhead); the
+NetworkX path remains the parity cross-check, and per-metric XLA kernels
+remain as the tested fallback if the fused call ever fails.
 """
 from __future__ import annotations
 
