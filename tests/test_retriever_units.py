@@ -229,3 +229,37 @@ def test_local_chat_judge():
     p = build_benchmark_evaluation_prompt("q", "blue",
                                           "The gloves are red.", "ctx")
     assert json.loads(chat.complete_sync(p))["is_correct"] is False
+
+
+def test_local_chat_judge_token_boundary():
+    """Adversarial cases where substring and token-boundary matching
+    disagree (VERDICT r2 weak #1): short groundtruth tokens embedded
+    inside unrelated words must NOT count as correct."""
+    from vidgraph_tpu.pipeline.prompts import \
+        build_benchmark_evaluation_prompt
+    chat = LocalChatClient()
+    # "ash" is a substring of "flashes" but not a word of the answer
+    p = build_benchmark_evaluation_prompt(
+        "q", "ash", "The camera flashes brightly.", "ctx")
+    assert json.loads(chat.complete_sync(p))["is_correct"] is False
+    # "cat" inside "catalyst" must not match
+    p = build_benchmark_evaluation_prompt(
+        "q", "cat", "The catalyst turned green.", "ctx")
+    assert json.loads(chat.complete_sync(p))["is_correct"] is False
+    # whole-word occurrences still match regardless of punctuation/case
+    p = build_benchmark_evaluation_prompt(
+        "q", "ash", "There was Ash, on the table.", "ctx")
+    assert json.loads(chat.complete_sync(p))["is_correct"] is True
+    # multi-token groundtruth: ALL non-stopword tokens required as words
+    p = build_benchmark_evaluation_prompt(
+        "q", "red powder", "A reddish powder appears.", "ctx")
+    assert json.loads(chat.complete_sync(p))["is_correct"] is False
+    p = build_benchmark_evaluation_prompt(
+        "q", "red powder", "A red powder appears.", "ctx")
+    assert json.loads(chat.complete_sync(p))["is_correct"] is True
+    # hyphenated compounds in the answer still expose their parts at word
+    # boundaries ("high" and "voltage" match inside "high-voltage")
+    p = build_benchmark_evaluation_prompt(
+        "q", "High Voltage warning sign",
+        "A panel with a high-voltage warning sign.", "ctx")
+    assert json.loads(chat.complete_sync(p))["is_correct"] is True

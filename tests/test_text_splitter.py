@@ -76,6 +76,78 @@ def test_per_batch_chunk_count_parity_vs_committed_run():
     assert exact >= 65, f"only {exact}/72 exact"
 
 
+def test_tiktoken_terminal_break_no_extra_overlapped_chunk():
+    """ADVICE r2 (medium): when the token count lands exactly on a window
+    edge (stride < n_tokens <= chunk_size), the tiktoken path must NOT
+    emit an extra fully-overlapped trailing chunk — mirroring LangChain's
+    split_text_on_tokens terminal break.  Exercised with a fake encoder so
+    the guard is tested even without tiktoken installed."""
+    sp = TokenTextSplitter(chunk_size=10, chunk_overlap=4)
+
+    class _FakeEnc:
+        def encode(self, text):
+            return list(range(len(text.split())))
+
+        def decode(self, ids):
+            return " ".join(f"w{i}" for i in ids)
+
+    sp._tiktoken = _FakeEnc()
+    # 10 tokens == chunk_size: exactly one window, not two
+    chunks = sp.split_text(" ".join(["x"] * 10))
+    assert len(chunks) == 1
+    # 8 tokens: stride(6) < 8 <= chunk_size(10) -> still one window
+    assert len(sp.split_text(" ".join(["x"] * 8))) == 1
+    # 16 tokens == stride + chunk_size: second window ends at last token
+    assert len(sp.split_text(" ".join(["x"] * 16))) == 2
+    # 17 tokens: needs a third window
+    assert len(sp.split_text(" ".join(["x"] * 17))) == 3
+
+
+def test_estimator_and_tiktoken_paths_agree_on_break_semantics():
+    """Both paths compute chunk count as ceil((n-size)/stride)+1."""
+    sp = TokenTextSplitter(chunk_size=40, chunk_overlap=8)
+    text = " ".join(f"word{i}" for i in range(200))
+    chunks, margin = sp.split_text_with_margin(text)
+    assert chunks == sp.split_text(text)
+    assert sp.chunk_overlap < margin <= sp.chunk_size
+
+
+def test_near_boundary_parity_warning(caplog):
+    """VERDICT r2 item 9: the estimator path warns when a batch's token
+    count sits within a few tokens of a chunk-window boundary, and stays
+    quiet when it is comfortably inside a window."""
+    import logging
+
+    from vidgraph_tpu.pipeline.pre_injector import warn_near_window_boundary
+
+    sp = TokenTextSplitter(chunk_size=20, chunk_overlap=4)
+    assert sp.encoder_name == "estimator"
+    # find one near-boundary text and one comfortably-inside text
+    hit = safe = None
+    for n in range(8, 200):
+        text = " ".join(f"word{i}" for i in range(n))
+        chunks, margin = sp.split_text_with_margin(text)
+        if len(chunks) < 2:
+            continue
+        slack = min(margin - 4, 20 - margin)
+        if slack <= 6 and hit is None:
+            hit = (chunks, margin)
+        if slack > 6 and safe is None:
+            safe = (chunks, margin)
+        if hit and safe:
+            break
+    assert hit is not None and safe is not None
+    # return value is the contract (project loggers don't propagate to
+    # root, so caplog can't see the record; the message is in stderr)
+    assert warn_near_window_boundary(sp, *hit, batch_idx=3) is True
+    assert warn_near_window_boundary(sp, *safe, batch_idx=4) is False
+    # a tiktoken-style exact splitter must never warn
+    sp2 = TokenTextSplitter(chunk_size=20, chunk_overlap=4)
+    sp2._tiktoken = object()
+    assert sp2.encoder_name == "tiktoken"
+    assert warn_near_window_boundary(sp2, *hit, batch_idx=5) is False
+
+
 def test_make_splitter_word_fallback():
     from vidgraph_tpu.pipeline.pre_injector import split_text_by_words
 

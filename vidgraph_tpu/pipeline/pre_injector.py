@@ -41,6 +41,30 @@ logger = get_logger("pre_injector")
 _WORDS_PER_TOKEN = 0.75  # word-count splitter calibration vs tiktoken
 
 
+def warn_near_window_boundary(splitter, chunks_text, margin: int,
+                              batch_idx: int,
+                              slack_tokens: int = 6) -> bool:
+    """VERDICT r2 item 9: when the calibrated estimator (not tiktoken)
+    decides chunk counts and the batch's estimated token count lands
+    within ``slack_tokens`` of a chunk-window boundary, the estimator may
+    disagree with exact cl100k by ±1 chunk — surface it in the logs so the
+    drift is observable.  Returns True when the warning fired."""
+    if (getattr(splitter, "encoder_name", "") != "estimator"
+            or not chunks_text):
+        return False
+    cs, ov = splitter.chunk_size, splitter.chunk_overlap
+    slack = (min(margin - ov, cs - margin) if len(chunks_text) > 1
+             else cs - margin)
+    if 0 <= slack <= slack_tokens:
+        logger.warning(
+            "batch %s: estimated token count is within %d tokens of a "
+            "chunk-window boundary — chunk count (%d) and "
+            "{uuid}_{batch}_{i} ids may differ by ±1 vs exact cl100k "
+            "tokenization", batch_idx, slack, len(chunks_text))
+        return True
+    return False
+
+
 def split_text_by_words(text: str, chunk_size_tokens: int,
                         overlap_tokens: int) -> List[str]:
     """Sliding-window word splitter with overlap (token sizes scaled)."""
@@ -272,7 +296,13 @@ class PreLLMInjector:
                                      run_uuid: str = "",
                                      ) -> Tuple[List[Dict], List[Dict],
                                                 Dict[str, str]]:
-        chunks_text = self._splitter.split_text(content)
+        if hasattr(self._splitter, "split_text_with_margin"):
+            chunks_text, margin = self._splitter.split_text_with_margin(
+                content)
+            warn_near_window_boundary(self._splitter, chunks_text, margin,
+                                      batch_idx)
+        else:
+            chunks_text = self._splitter.split_text(content)
         chunk_data = []
         for i, text in enumerate(chunks_text):
             cid = (f"{run_uuid}_{batch_idx}_{i}" if run_uuid

@@ -490,8 +490,17 @@ class LocalChatClient(ChatClient):
         gt = _section(prompt, "GROUND TRUTH:", ["AI ANSWER:"])
         ans = _section(prompt, "AI ANSWER:", ["CONTEXT:"])
         gt_tok = [w.lower() for w in _words(gt) if w.lower() not in _STOPWORDS]
+        # Token-boundary matching (VERDICT r2 weak #1): every non-stopword
+        # groundtruth token must appear \b-anchored in the answer —
+        # substring matching would let "ash" match inside "flashes", while
+        # word-set matching would miss "high" inside "high-voltage".
+        # Anchors apply only at alphanumeric token edges (\b before a
+        # leading "-" in "-56" would never match).
         ans_low = ans.lower()
-        ok = bool(gt_tok) and all(t in ans_low for t in gt_tok)
+        ok = bool(gt_tok) and all(
+            re.search((r"\b" if t[0].isalnum() else "") + re.escape(t)
+                      + (r"\b" if t[-1].isalnum() else ""), ans_low)
+            for t in gt_tok)
         return json.dumps({"is_correct": ok})
 
 
