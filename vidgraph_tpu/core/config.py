@@ -153,6 +153,11 @@ class BackendConfig(_Model):
 
 
 class MeshConfig(_Model):
+    # "auto" builds a serving mesh iff >1 JAX device is visible;
+    # true/false force it on/off.  When active, embedding memories are
+    # row-sharded over "data" and captioner/ViT inference is tensor-
+    # sharded over "model" (parallel/serving.py).
+    enabled: Any = "auto"
     data_axis: int = 0        # 0 = use all remaining devices
     model_axis: int = 1
     axis_names: List[str] = ["data", "model"]
@@ -200,11 +205,18 @@ class PipelineConfig(_Model):
     def from_yaml(cls, path: str) -> "PipelineConfig":
         with open(path, "r") as f:
             raw: Dict[str, Any] = yaml.safe_load(f) or {}
-        return cls.model_validate(raw)
+        return cls.from_dict(raw)
 
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "PipelineConfig":
-        return cls.model_validate(raw or {})
+        cfg = cls.model_validate(raw or {})
+        # Record the serving-mesh policy process-wide so every entry point
+        # (CLI, engines, servers) picks it up without explicit wiring; the
+        # mesh itself is built lazily on first use.
+        from ..parallel import serving
+
+        serving.configure(cfg.mesh)
+        return cfg
 
     def to_dict(self) -> Dict[str, Any]:
         return self.model_dump()

@@ -90,7 +90,7 @@ class EmbeddedGraphStore(GraphStore):
         # FROM_CHUNK adjacency indices (kept in lockstep with from_chunk)
         self._fc_by_entity: Dict[str, Set[str]] = defaultdict(set)
         self._fc_by_chunk: Dict[str, Set[str]] = defaultdict(set)
-        self._chunk_emb = EmbeddingStore(dim=dim)
+        self._chunk_emb = self._new_emb_store(dim)
         self._lock = threading.RLock()
         # fulltext index caches (entityName): token lists + doc frequencies,
         # rebuilt lazily after writes
@@ -101,6 +101,16 @@ class EmbeddedGraphStore(GraphStore):
             self._load()
 
     # ------------------------------------------------------------------ util
+    @staticmethod
+    def _new_emb_store(dim: int) -> EmbeddingStore:
+        """Chunk-vector memory; row-sharded over the serving mesh when one
+        is active (parallel/serving.py) — the multi-chip product path for
+        Neo4j ``vector.similarity.cosine`` (reference:
+        src/pipeline/retriever_hybrid.py:284-323)."""
+        from ..parallel.serving import make_embedding_store
+
+        return make_embedding_store(dim=dim)
+
     def _ensure_emb_dim(self, d: int) -> bool:
         """Adapt the device store to the embedding dim actually seen (e.g.
         importing a reference export with 1536-d vectors).
@@ -117,7 +127,7 @@ class EmbeddedGraphStore(GraphStore):
             return True
         if len(self._chunk_emb) == 0:
             self.dim = d
-            self._chunk_emb = EmbeddingStore(dim=d)
+            self._chunk_emb = self._new_emb_store(d)
             return True
         logger.warning(
             "Embedding dim mismatch: store=%d got=%d — re-projecting "

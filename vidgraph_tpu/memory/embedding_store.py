@@ -41,10 +41,12 @@ class EmbeddingStore:
     """Append-mostly id -> embedding memory with device-mirrored search."""
 
     def __init__(self, dim: int, capacity: int = _MIN_CAPACITY,
-                 dtype=jnp.float32, device: Optional[jax.Device] = None):
+                 dtype=jnp.float32, device: Optional[jax.Device] = None,
+                 device_min_rows: int = _DEVICE_MIN_ROWS):
         self.dim = int(dim)
         self.dtype = dtype
         self._device = device
+        self.device_min_rows = device_min_rows
         cap = _MIN_CAPACITY
         while cap < capacity:
             cap *= 2
@@ -131,18 +133,12 @@ class EmbeddingStore:
         if self._count == 0:
             return [[] for _ in range(q.shape[0])]
         kk = min(k, self._count)
-        if self._count < _DEVICE_MIN_ROWS:
+        if self._count < self.device_min_rows:
             scores = self._host_scores(q)
             idx = np.argsort(-scores, axis=1)[:, :kk]
             vals = np.take_along_axis(scores, idx, axis=1)
         else:
-            with self._lock:
-                store = self._device_store()
-                count = self._count
-            vals, idx = cosine_topk(jnp.asarray(q), store, k=kk,
-                                    valid_count=count)
-            vals = np.asarray(vals)
-            idx = np.asarray(idx)
+            vals, idx = self._device_topk(q, kk)
         out: List[List[Tuple[str, float]]] = []
         for r in range(q.shape[0]):
             row = []
@@ -156,6 +152,16 @@ class EmbeddingStore:
             out.append(row)
         return out
 
+    def _device_topk(self, q: np.ndarray, kk: int):
+        """Fused device top-k over the mirrored store (single chip path;
+        the sharded multi-chip store overrides this)."""
+        with self._lock:
+            store = self._device_store()
+            count = self._count
+        vals, idx = cosine_topk(jnp.asarray(q), store, k=kk,
+                                valid_count=count)
+        return np.asarray(vals), np.asarray(idx)
+
     def _host_scores(self, q: np.ndarray) -> np.ndarray:
         qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         with self._lock:
@@ -167,8 +173,11 @@ class EmbeddingStore:
         q = np.atleast_2d(np.asarray(queries, np.float32))
         if self._count == 0:
             return np.zeros((q.shape[0], 0), np.float32)
-        if self._count < _DEVICE_MIN_ROWS:
+        if self._count < self.device_min_rows:
             return self._host_scores(q)
+        return self._device_scores(q)
+
+    def _device_scores(self, q: np.ndarray) -> np.ndarray:
         with self._lock:
             store = self._device_store()
             count = self._count

@@ -522,6 +522,11 @@ class TPUChatClient(ChatClient):
             self.params = load_params(self.params, checkpoint_path)
             logger.info("Loaded TPU chat LM weights from %s",
                         checkpoint_path)
+        # tensor-parallel serving over the process-wide mesh when active
+        from ..parallel.serving import serving_mesh, shard_captioner_params
+        self._mesh = serving_mesh()
+        if self._mesh is not None:
+            self.params = shard_captioner_params(self.params, self._mesh)
         self.max_prompt_bytes = max_prompt_bytes
 
     async def complete(self, prompt, system=None, temperature=0.0,
@@ -541,8 +546,10 @@ class TPUChatClient(ChatClient):
         vis = jnp.asarray(
             np.tile(pooled[: self.cfg.vision_dim],
                     (1, self.cfg.num_vision_tokens, 1)), jnp.float32)
-        toks = generate(self.params, self.cfg, vis,
-                        max_new=min(max_tokens, 256))
+        from ..parallel.serving import maybe_mesh
+        with maybe_mesh(self._mesh):
+            toks = generate(self.params, self.cfg, vis,
+                            max_new=min(max_tokens, 256))
         return tokenizer.decode(np.asarray(toks)[0])
 
 

@@ -31,7 +31,7 @@ _MAX_BODY = 8 * 1024 * 1024
 class VideoMemoryServer:
     def __init__(self, config: Optional[PipelineConfig] = None,
                  host: str = "127.0.0.1", port: int = 8077) -> None:
-        from ..memory.embedding_store import EmbeddingStore
+        from ..parallel.serving import make_embedding_store
         from ..services.embed_client import make_embed_client
 
         self.config = config or PipelineConfig()
@@ -41,7 +41,9 @@ class VideoMemoryServer:
             self.config.backend.embedder,
             dim=self.config.embedding_memory.dim,
             checkpoint_path=self.config.embedder.checkpoint_path)
-        self._EmbeddingStore = EmbeddingStore
+        # mesh-aware factory: per-stream memories shard over the serving
+        # mesh when one is active (parallel/serving.py)
+        self._EmbeddingStore = make_embedding_store
         self.memories: Dict[str, Any] = {}
         self.chunk_meta: Dict[str, Dict[str, Dict[str, Any]]] = {}
         self.retrievers: Dict[str, Any] = {}

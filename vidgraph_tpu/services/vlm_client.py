@@ -75,6 +75,18 @@ class TPUVLMClient(VLMClient):
             self.vit_params = loaded["vit"]
             self.cap_params = loaded["cap"]
             logger.info("Loaded VLM weights from %s", checkpoint)
+        # Tensor-parallel serving: when a multi-device serving mesh is
+        # active, weights are placed with the trainer's shardings (qkv/fc1
+        # column-split, attn_o/fc2 row-split over "model") and every
+        # vision-tower / generate dispatch below runs inside the mesh.
+        from ..parallel.serving import (serving_mesh, shard_captioner_params,
+                                        shard_vit_params)
+
+        self._mesh = serving_mesh()
+        if self._mesh is not None:
+            self.vit_params = shard_vit_params(self.vit_params, self._mesh)
+            self.cap_params = shard_captioner_params(self.cap_params,
+                                                     self._mesh)
         self.max_new = max_new
         self._vit_apply = jax.jit(self.vit.apply)
 
@@ -109,6 +121,7 @@ class TPUVLMClient(VLMClient):
         from ..models import tokenizer
         from ..models.captioner import generate
         from ..ops.preprocess import preprocess_frames
+        from ..parallel.serving import maybe_mesh
 
         stack = np.concatenate([np.stack(c).astype(np.uint8)
                                 for c in chunks], axis=0)
@@ -136,9 +149,10 @@ class TPUVLMClient(VLMClient):
             stack = np.concatenate(
                 [stack, np.zeros((fbucket - total,) + stack.shape[1:],
                                  np.uint8)])
-        x = preprocess_frames(jnp.asarray(stack),
-                              size=self.vit_cfg.image_size, fast=True)
-        emb = self._vit_apply(self.vit_params, x)[:total]
+        with maybe_mesh(self._mesh):
+            x = preprocess_frames(jnp.asarray(stack),
+                                  size=self.vit_cfg.image_size, fast=True)
+            emb = self._vit_apply(self.vit_params, x)[:total]
         prefixes = []
         off = 0
         for c in chunks:
@@ -152,8 +166,9 @@ class TPUVLMClient(VLMClient):
         if bucket != n:   # pad to a power-of-two batch: bounded compiles
             vis = jnp.concatenate(
                 [vis, jnp.zeros((bucket - n,) + vis.shape[1:], vis.dtype)])
-        toks = np.asarray(generate(self.cap_params, self.cap_cfg, vis,
-                                   max_new=self.max_new))
+        with maybe_mesh(self._mesh):
+            toks = np.asarray(generate(self.cap_params, self.cap_cfg, vis,
+                                       max_new=self.max_new))
         return [tokenizer.decode(toks[i]) for i in range(len(chunks))]
 
 

@@ -110,6 +110,7 @@ class RealtimeEngine:
                  retrieval_config=None, rerank_client=None,
                  kg_extractor: Optional[Callable] = None) -> None:
         from ..memory.embedding_store import EmbeddingStore
+        from ..parallel.serving import make_embedding_store
 
         self.specs = {s.stream_id: s for s in specs}
         self.rings = {s.stream_id: FrameRing(s) for s in specs}
@@ -120,8 +121,10 @@ class RealtimeEngine:
         self.retrieval_config = retrieval_config
         self.rerank = rerank_client
         self.kg_extractor = kg_extractor
+        # per-stream chunk memory; row-sharded over the serving mesh when
+        # one is active (parallel/serving.py)
         self.memories: Dict[str, EmbeddingStore] = {
-            s.stream_id: EmbeddingStore(dim=embed_client.dim)
+            s.stream_id: make_embedding_store(dim=embed_client.dim)
             for s in specs}
         self.captions: Dict[str, Dict[str, Dict[str, Any]]] = \
             defaultdict(dict)
