@@ -96,7 +96,8 @@ class FrameRing:
 class StreamStats:
     frames_in: int = 0
     chunks_done: int = 0
-    dropped: int = 0
+    dropped: int = 0          # frames dropped at the ring (camera overrun)
+    shed_chunks: int = 0      # whole chunks shed by the engine lag policy
     chunk_latencies_ms: List[float] = dataclasses.field(default_factory=list)
 
 
@@ -108,7 +109,8 @@ class RealtimeEngine:
                  vlm_client=None, vision_embedder: Optional[Callable] = None,
                  graph_stores: Optional[Dict[str, Any]] = None,
                  retrieval_config=None, rerank_client=None,
-                 kg_extractor: Optional[Callable] = None) -> None:
+                 kg_extractor: Optional[Callable] = None,
+                 max_lag_windows: Optional[int] = 2) -> None:
         from ..memory.embedding_store import EmbeddingStore
         from ..parallel.serving import make_embedding_store
 
@@ -121,6 +123,12 @@ class RealtimeEngine:
         self.retrieval_config = retrieval_config
         self.rerank = rerank_client
         self.kg_extractor = kg_extractor
+        # Load-shedding policy: when a stream has more than this many
+        # completed-but-unprocessed chunk windows at collect time, the
+        # OLDEST are dropped (counted in StreamStats.shed_chunks) so a
+        # real-time engine degrades by losing coverage, never by queueing
+        # unboundedly and falling behind wall time.  None disables.
+        self.max_lag_windows = max_lag_windows
         # per-stream chunk memory; row-sharded over the serving mesh when
         # one is active (parallel/serving.py)
         self.memories: Dict[str, EmbeddingStore] = {
@@ -142,11 +150,20 @@ class RealtimeEngine:
     def _collect_ready_chunks(self) -> List[Tuple[str, int, str, np.ndarray]]:
         ready = []
         for sid, ring in self.rings.items():
+            items = []
             while True:
                 item = ring.pop_chunk()
                 if item is None:
                     break
-                ready.append((sid, *item))
+                items.append(item)
+            if (self.max_lag_windows is not None
+                    and len(items) > self.max_lag_windows):
+                shed = len(items) - self.max_lag_windows
+                items = items[shed:]       # keep the NEWEST windows
+                self.stats[sid].shed_chunks += shed
+                logger.warning("Stream %s lagging: shed %d oldest chunk(s) "
+                               "(keeping %d newest)", sid, shed, len(items))
+            ready.extend((sid, *item) for item in items)
             self.stats[sid].dropped = ring.dropped
         return ready
 
@@ -257,12 +274,17 @@ class RealtimeEngine:
                 "frames_in": st.frames_in,
                 "chunks_done": st.chunks_done,
                 "dropped_frames": st.dropped,
+                "shed_chunks": st.shed_chunks,
                 "chunk_latency_p50_ms": (float(np.median(lat))
                                          if lat else None),
             }
         q = sorted(self.query_latencies_ms)
         return {
             "streams": per_stream,
+            "total_dropped_frames": sum(s.dropped
+                                        for s in self.stats.values()),
+            "total_shed_chunks": sum(s.shed_chunks
+                                     for s in self.stats.values()),
             "query_p50_ms": float(np.median(q)) if q else None,
             "query_p95_ms": (q[int(0.95 * (len(q) - 1))] if q else None),
             "queries_served": len(q),
@@ -277,7 +299,11 @@ async def simulate(engine: RealtimeEngine,
     """Drive the engine from frame iterators for ``video_seconds`` of video
     time.  ``queries`` are (video_time_s, stream_id, text) triples.
     ``realtime=False`` runs as fast as the device allows (throughput
-    measurement); ``True`` sleeps to pace frames at each stream's fps.
+    measurement).  ``realtime=True`` is wall-clock-driven: frames arrive
+    at camera rate regardless of how slow processing is, so an overloaded
+    engine degrades by shedding chunks / dropping ring frames (visible in
+    the summary) while the realtime factor stays pinned near 1.0 — never
+    by queueing unboundedly and falling behind wall time.
     """
     queries = sorted(queries or [])
     qpos = 0
@@ -298,10 +324,20 @@ async def simulate(engine: RealtimeEngine,
             qpos += 1
         await engine.process_ready()
         if realtime:
-            lag = (t_video + step) - (time.perf_counter() - t_wall)
-            if lag > 0:
-                await asyncio.sleep(lag)
-        t_video += step
+            elapsed = time.perf_counter() - t_wall
+            if elapsed < t_video + step:
+                await asyncio.sleep(t_video + step - elapsed)
+                t_video += step
+            else:
+                # Overloaded: the camera kept producing while we were
+                # busy.  Jump video time forward to wall time so the
+                # backlog arrives as a burst next iteration and the rings
+                # + lag shedder absorb it (instead of slowing the camera
+                # down, which no real-time source would do).
+                t_video = min(video_seconds,
+                              max(t_video + step, elapsed))
+        else:
+            t_video += step
     await engine.process_ready()
     await engine.drain_background()
     wall = time.perf_counter() - t_wall
