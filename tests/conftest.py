@@ -28,6 +28,9 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: exercises the real TPU in a subprocess; "
                    "needs --run-tpu")
+    config.addinivalue_line(
+        "markers", "neo4j: integration tests against a live Neo4j server; "
+                   "set NEO4J_URI to enable")
 
 
 def pytest_collection_modifyitems(config, items):
