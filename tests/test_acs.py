@@ -59,6 +59,25 @@ def test_xla_matches_networkx(seed):
             assert abs(a - b) <= tol, f"{key}: nx={a} xla={b}"
 
 
+def test_louvain_exact_override():
+    """acs.louvain='networkx' pins the exact seeded NetworkX Louvain even
+    when every other metric runs on the fused XLA path (ADVICE r2: the
+    approximate device Louvain changes community counts for consumers
+    comparing metric streams across runs)."""
+    s = _random_store(seed=3)
+    nx_m = ACSAutomata(s, ACSConfig(backend="networkx")).update_metrics()
+    pinned = ACSAutomata(s, ACSConfig(backend="xla",
+                                      louvain="networkx")).update_metrics()
+    assert pinned["louvain_communities"] == nx_m["louvain_communities"]
+    assert pinned["louvain_modularity"] == \
+        pytest.approx(nx_m["louvain_modularity"], abs=1e-6)
+    # and the rest still came from the device path (sanity: same values as
+    # the unpinned xla run for a distance-family metric)
+    xla_m = ACSAutomata(s, ACSConfig(backend="xla")).update_metrics()
+    assert pinned["global_efficiency"] == \
+        pytest.approx(xla_m["global_efficiency"], abs=1e-3)
+
+
 def test_empty_graph_metrics():
     s = EmbeddedGraphStore("empty", persist_dir=None, persist=False)
     m = ACSAutomata(s, ACSConfig(backend="networkx")).update_metrics()

@@ -31,6 +31,56 @@ def test_tpu_captioner_batch_matches_single():
     assert batched == singles
 
 
+def test_preprocess_mode_pins_resize_path(monkeypatch):
+    """ADVICE r2: numerics must not silently depend on cv2 availability.
+    'device' never host-resizes even for large frames; 'host' always does
+    (and errors without cv2); fast_resize=False runs the exact f32 path."""
+    from vidgraph_tpu.models.captioner import CaptionerConfig
+    from vidgraph_tpu.models.vit import ViTConfig
+
+    rng = np.random.default_rng(0)
+    # 200x200 frames vs 64px tower input -> the "big" auto-trigger fires
+    chunk = [rng.integers(0, 256, (200, 200, 3), dtype=np.uint8)
+             for _ in range(2)]
+
+    def make(**kw):
+        return TPUVLMClient(vit_cfg=ViTConfig.tiny(),
+                            cap_cfg=CaptionerConfig.tiny(), max_new=4, **kw)
+
+    cv2 = pytest.importorskip("cv2")
+    calls = []
+    real_resize = cv2.resize
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_resize(*a, **kw)
+
+    monkeypatch.setattr(cv2, "resize", spy)
+    out = make(preprocess="device").caption_batch_sync([chunk])
+    assert out and not calls                 # device mode: cv2 untouched
+
+    out = make(preprocess="host").caption_batch_sync([chunk])
+    assert out and calls                     # host mode: cv2 used
+
+    # exact f32 resize path compiles and runs
+    out = make(preprocess="device",
+               fast_resize=False).caption_batch_sync([chunk])
+    assert out
+
+    # host mode without cv2 must fail loudly, not silently change numerics
+    import builtins
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **kw):
+        if name == "cv2":
+            raise ImportError("cv2 disabled for test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    with pytest.raises(RuntimeError, match="requires cv2"):
+        make(preprocess="host").caption_batch_sync([chunk])
+
+
 def test_local_vlm_caption_batch_default():
     client = LocalVLMClient()
     red = np.zeros((32, 32, 3), np.uint8)

@@ -38,6 +38,12 @@ class VLMConfig(_Model):
     user_prompt_template: str = (
         "Describe what's happening in these frames from a video."
     )
+    # TPU-backend preprocessing numerics (ADVICE r2: pin them so the same
+    # video embeds identically across deployments).  preprocess: "auto"
+    # host-resizes large frames when cv2 is importable; "host" always
+    # host-resizes (errors without cv2); "device" always resizes on device.
+    preprocess: str = "auto"   # auto | host | device
+    fast_resize: bool = True   # bf16 separable resize vs exact f32
 
 
 class LLMInjectorConfig(_Model):
@@ -171,6 +177,7 @@ class GraphStoreConfig(_Model):
 
 class ACSConfig(_Model):
     backend: str = "auto"      # auto | xla | networkx
+    louvain: str = "device"    # device (XLA, approx) | networkx (exact seed)
     exact_efficiency_max_nodes: int = 500
     sample_sources: int = 100
     betweenness_k: int = 100

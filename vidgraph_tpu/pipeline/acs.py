@@ -624,12 +624,19 @@ class ACSAutomata:
             pagerank_top10 = 0.0
 
         # ---- louvain ---------------------------------------------------------
+        # acs.louvain = "device" uses the parallel XLA formulation on the
+        # xla/fused path (94.5-100% of NX modularity, community counts may
+        # differ); "networkx" pins the exact seeded NetworkX Louvain for
+        # reference-parity metric streams even when everything else runs
+        # fused on device (it is cheap relative to the rest).
         louvain_communities, louvain_modularity = 0, 0.0
+        exact_louvain = getattr(self.config, "louvain", "device") \
+            == "networkx"
         try:
-            if fused is not None:
+            if fused is not None and not exact_louvain:
                 louvain_communities = int(round(fused[11]))
                 louvain_modularity = fused[12]
-            elif backend == "xla" and n >= 2:
+            elif backend == "xla" and n >= 2 and not exact_louvain:
                 louvain_communities, louvain_modularity = \
                     self._louvain_xla(adj)
             else:

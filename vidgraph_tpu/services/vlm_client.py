@@ -52,7 +52,9 @@ class TPUVLMClient(VLMClient):
     def __init__(self, vit_cfg=None, cap_cfg=None, seed: int = 0,
                  max_new: int = 256,
                  checkpoint: Optional[str] = None,
-                 preset: Optional[str] = None) -> None:
+                 preset: Optional[str] = None,
+                 preprocess: str = "auto",
+                 fast_resize: bool = True) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -88,6 +90,15 @@ class TPUVLMClient(VLMClient):
             self.cap_params = shard_captioner_params(self.cap_params,
                                                      self._mesh)
         self.max_new = max_new
+        # Reproducibility knobs (ADVICE r2): "auto" picks host cv2 resize
+        # for large frames iff cv2 imports, "host"/"device" pin the path
+        # so numerics do not depend on the deployment environment.
+        if preprocess not in ("auto", "host", "device"):
+            raise ValueError(f"preprocess must be auto|host|device, "
+                             f"got {preprocess!r}")
+        self.preprocess = preprocess
+        self.fast_resize = fast_resize
+        self._preproc_logged = False
         self._vit_apply = jax.jit(self.vit.apply)
 
     async def caption(self, frames, system_prompt="", user_prompt="") -> str:
@@ -129,9 +140,13 @@ class TPUVLMClient(VLMClient):
         # 720p frame is 2.7 MB while the 224^2 input is 150 KB — on a
         # tunnelled chip (~5 MB/s H2D) shipping raw frames costs ~0.5 s
         # each, and even host-attached it's 18x needless DMA.  The device
-        # fast-resize path still handles moderate downscales.
+        # fast-resize path still handles moderate downscales.  The
+        # ``preprocess`` mode pins the choice for reproducibility.
         size = self.vit_cfg.image_size
-        if stack.shape[1] * stack.shape[2] > 4 * size * size:
+        big = stack.shape[1] * stack.shape[2] > 4 * size * size
+        use_host = (self.preprocess == "host"
+                    or (self.preprocess == "auto" and big))
+        if use_host:
             try:
                 import cv2
 
@@ -140,7 +155,18 @@ class TPUVLMClient(VLMClient):
                                interpolation=cv2.INTER_AREA)
                     for f in stack]).astype(np.uint8)
             except ImportError:
-                pass
+                if self.preprocess == "host":
+                    raise RuntimeError(
+                        "vlm.preprocess='host' requires cv2 (opencv)")
+                use_host = False
+        if not self._preproc_logged:
+            logger.info(
+                "VLM preprocess path: %s resize, device %s "
+                "(vlm.preprocess=%s, vlm.fast_resize=%s)",
+                "host cv2 INTER_AREA" if use_host else "device",
+                "bf16 separable" if self.fast_resize else "exact f32",
+                self.preprocess, self.fast_resize)
+            self._preproc_logged = True
         total = stack.shape[0]
         fbucket = 8
         while fbucket < total:
@@ -151,7 +177,8 @@ class TPUVLMClient(VLMClient):
                                  np.uint8)])
         with maybe_mesh(self._mesh):
             x = preprocess_frames(jnp.asarray(stack),
-                                  size=self.vit_cfg.image_size, fast=True)
+                                  size=self.vit_cfg.image_size,
+                                  fast=self.fast_resize)
             emb = self._vit_apply(self.vit_params, x)[:total]
         prefixes = []
         off = 0
@@ -284,7 +311,12 @@ def make_vlm_client(kind: str, vlm_config=None) -> VLMClient:
             if vlm_config is not None else None
         preset = getattr(vlm_config, "tpu_preset", None) \
             if vlm_config is not None else None
-        return TPUVLMClient(checkpoint=ckpt, preset=preset)
+        pre = getattr(vlm_config, "preprocess", "auto") \
+            if vlm_config is not None else "auto"
+        fast = getattr(vlm_config, "fast_resize", True) \
+            if vlm_config is not None else True
+        return TPUVLMClient(checkpoint=ckpt, preset=preset,
+                            preprocess=pre, fast_resize=fast)
     if kind == "local":
         return LocalVLMClient()
     if kind == "http":
