@@ -147,9 +147,15 @@ def main() -> None:
                   "rels": N_RELS, "build_s": round(build_s, 2)},
         "frames_per_sec_chip": round(fps, 1),
         "vit_mfu": round(vit_mfu, 4),
+        "captioner_params": cap["params"],
         "captioner_tokens_per_sec": cap["tokens_per_sec"],
         "captioner_tokens_per_sec_8streams": cap["tokens_per_sec_8"],
         "captioner_mbu": cap["mbu"],
+        "captioner_large_params": cap["large_params"],
+        "captioner_large_tokens_per_sec": cap["large_tokens_per_sec"],
+        "captioner_large_tokens_per_sec_8streams":
+            cap["large_tokens_per_sec_8"],
+        "captioner_large_mbu": cap["large_mbu"],
         "realtime_8x30fps_factor": round(rt, 2),
         "large_store_topk_ms": round(big_ms, 3),
         "acs_full_metrics_ms_926n": round(acs_ms, 1),
@@ -198,39 +204,51 @@ def _frames_per_second() -> tuple:
 
 
 def _captioner_decode() -> dict:
-    """Captioner LM greedy-decode throughput (KV-cached lax.scan):
-    tokens/s/chip at the max-throughput batch (128 concurrent captions)
-    and at the 8-stream realtime scenario; MBU = bf16 param bytes read
-    per step vs the 819 GB/s v5e HBM bandwidth."""
+    """Captioner LM greedy-decode throughput (KV-cached lax.scan) at two
+    scales: the 25M ``base`` model and the ~1.2B ``large`` serving-scale
+    model (VERDICT r2 #2 — Qwen2-VL-2B-class shapes, bf16 weights).
+    tokens/s/chip at the max-throughput batch and at the 8-stream
+    realtime scenario; MBU = actual param bytes read per step vs the
+    819 GB/s v5e HBM bandwidth.  Param counts are emitted so the numbers
+    can't be misread across scales."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from vidgraph_tpu.models.captioner import (CaptionerConfig, generate,
                                                init_params)
 
-    cfg = CaptionerConfig.base()
-    params = init_params(cfg, seed=0)
-    d, L, v = cfg.width, cfg.layers, cfg.vocab
-    n_params = L * 12 * d * d + v * d + cfg.max_len * d + d * cfg.vision_dim
     rng = np.random.default_rng(0)
     max_new = 64
     out = {}
-    for key, b in (("tokens_per_sec_8", 8), ("tokens_per_sec", 128)):
-        vis = jnp.asarray(rng.normal(
-            size=(b, cfg.num_vision_tokens, cfg.vision_dim)
-        ).astype(np.float32))
-        np.asarray(generate(params, cfg, vis, max_new=max_new))  # compile
-        reps = 5
-        t0 = time.perf_counter()
-        toks = None
-        for _ in range(reps):
-            toks = generate(params, cfg, vis, max_new=max_new)
-        np.asarray(toks)
-        dt = time.perf_counter() - t0
-        out[key] = round(b * max_new * reps / dt, 1)
-        if b == 8:  # MBU is per-step; the small batch is bandwidth-bound
-            out["mbu"] = round(
-                n_params * 2 * (max_new * reps / dt) / 819e9, 4)
+    scales = (
+        ("", CaptionerConfig.base(),
+         (("tokens_per_sec_8", 8), ("tokens_per_sec", 128))),
+        ("large_", CaptionerConfig.large(),
+         (("tokens_per_sec_8", 8), ("tokens_per_sec", 32))),
+    )
+    for prefix, cfg, batches in scales:
+        params = init_params(cfg, seed=0, param_dtype=jnp.bfloat16)
+        pbytes = sum(x.size * x.dtype.itemsize
+                     for x in jax.tree_util.tree_leaves(params))
+        out[prefix + "params"] = cfg.num_params
+        for key, b in batches:
+            vis = jnp.asarray(rng.normal(
+                size=(b, cfg.num_vision_tokens, cfg.vision_dim)
+            ).astype(np.float32))
+            np.asarray(generate(params, cfg, vis, max_new=max_new))
+            reps = 5
+            t0 = time.perf_counter()
+            toks = None
+            for _ in range(reps):
+                toks = generate(params, cfg, vis, max_new=max_new)
+            np.asarray(toks)
+            dt = time.perf_counter() - t0
+            out[prefix + key] = round(b * max_new * reps / dt, 1)
+            if b == 8:  # MBU per-step; the small batch is bandwidth-bound
+                out[prefix + "mbu"] = round(
+                    pbytes * (max_new * reps / dt) / 819e9, 4)
+        del params  # free HBM before the next scale / stage
     return out
 
 
