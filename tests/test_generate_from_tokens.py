@@ -1,0 +1,86 @@
+"""Prompt-token-conditioned decoding (VERDICT r2 weak #5 / next #3):
+``generate_from_tokens`` must agree exactly with teacher-forced
+``forward`` logits and be invariant to right-padding."""
+import jax.numpy as jnp
+import numpy as np
+
+from vidgraph_tpu.models import tokenizer
+from vidgraph_tpu.models.captioner import (CaptionerConfig, forward,
+                                           generate_from_tokens, init_params)
+
+CFG = CaptionerConfig.tiny()      # nv=2, max_len=64, f32
+
+
+def _pad(ids, t_pad):
+    a = np.full((1, t_pad), tokenizer.PAD_ID, np.int32)
+    a[0, :len(ids)] = ids
+    return jnp.asarray(a)
+
+
+def test_matches_teacher_forcing():
+    params = init_params(CFG, seed=0)
+    ids = tokenizer.encode("hello wor", add_bos=True, add_eos=False)
+    out = np.asarray(generate_from_tokens(
+        params, CFG, _pad(ids, 16), jnp.int32(len(ids)), max_new=4))[0]
+    vis = jnp.zeros((1, CFG.num_vision_tokens, CFG.vision_dim), jnp.float32)
+    cur = list(ids)
+    for i in range(4):
+        logits = np.asarray(forward(params, CFG, vis,
+                                    jnp.asarray([cur], jnp.int32)))
+        nxt = int(logits[0, -1].argmax())
+        assert out[i] == nxt, f"step {i}: {out[i]} != {nxt}"
+        if nxt == tokenizer.EOS_ID:
+            assert all(int(t) == tokenizer.EOS_ID for t in out[i:])
+            break
+        cur.append(nxt)
+
+
+def test_pad_amount_does_not_change_output():
+    params = init_params(CFG, seed=1)
+    ids = tokenizer.encode("abc", add_bos=True, add_eos=False)
+    o16 = generate_from_tokens(params, CFG, _pad(ids, 16),
+                               jnp.int32(len(ids)), max_new=6)
+    o32 = generate_from_tokens(params, CFG, _pad(ids, 32),
+                               jnp.int32(len(ids)), max_new=6)
+    assert np.array_equal(np.asarray(o16), np.asarray(o32))
+
+
+def test_prompt_conditioning_changes_output():
+    """Different prompts must produce different continuations (the pooled
+    round-2 conditioning collapsed most prompts to near-identical vectors)."""
+    params = init_params(CFG, seed=2)
+    a = tokenizer.encode("red beaker", add_bos=True, add_eos=False)
+    b = tokenizer.encode("blue flame!", add_bos=True, add_eos=False)
+    oa = np.asarray(generate_from_tokens(params, CFG, _pad(a, 16),
+                                         jnp.int32(len(a)), max_new=8))
+    ob = np.asarray(generate_from_tokens(params, CFG, _pad(b, 16),
+                                         jnp.int32(len(b)), max_new=8))
+    assert not np.array_equal(oa, ob)
+
+
+def test_context_overflow_raises():
+    params = init_params(CFG, seed=0)
+    try:
+        generate_from_tokens(params, CFG, _pad([1, 2, 3], 64),
+                             jnp.int32(3), max_new=32)
+    except ValueError as e:
+        assert "max_len" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_tpu_chat_client_serves_prompt_tokens():
+    from vidgraph_tpu.services.llm_client import TPUChatClient
+
+    cfg = CaptionerConfig(width=32, layers=2, heads=2, vision_dim=32,
+                          num_vision_tokens=2, max_len=640,
+                          dtype=jnp.float32)
+    client = TPUChatClient(cfg=cfg, max_new=16)
+    out = client.complete_sync("Extract triplets from: a person holds "
+                               "a beaker.")
+    assert isinstance(out, str)          # random weights: just mechanics
+    # over-long prompts keep head + tail within the byte budget
+    long = "HEAD " + ("x" * 5000) + " TAIL"
+    fitted = client._fit_prompt(long)
+    assert len(fitted.encode()) <= client.max_prompt_bytes + 8
+    assert fitted.startswith("HEAD") and fitted.endswith("TAIL")

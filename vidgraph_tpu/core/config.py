@@ -137,6 +137,12 @@ class BenchmarkLLMConfig(_Model):
     temperature: float = 0.2
     top_p: float = 0.9
     max_tokens: int = 2048
+    # Judge backend override ("" = same client as answer generation).
+    # Pinning "local" keeps the strict deterministic token-boundary judge
+    # as the metric while backend.llm swaps the answer generator — scores
+    # stay comparable across backends (deliberate deviation from the
+    # reference's single LLM for both roles; documented in PARITY.md).
+    judge_backend: str = ""
 
 
 # ---------------------------------------------------------------------------

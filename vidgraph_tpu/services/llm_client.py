@@ -504,18 +504,35 @@ class LocalChatClient(ChatClient):
         return json.dumps({"is_correct": ok})
 
 
-class TPUChatClient(ChatClient):
-    """Serves completions from the in-process byte-level LM on TPU.
+def fit_prompt_bytes(prompt: str, budget: int) -> str:
+    """Fit an over-long prompt into ``budget`` bytes keeping the head
+    (task statement) and the tail (text under analysis + response-format
+    instructions) — the middle is the least load-bearing part of every
+    pipeline template.  Used identically at train and serve time."""
+    raw = prompt.encode("utf-8", errors="replace")
+    if len(raw) <= budget:
+        return prompt
+    head = budget // 4
+    tail = budget - head
+    return (raw[:head] + b"\n...\n" + raw[-tail:]).decode(
+        "utf-8", errors="replace")
 
-    Load domain weights via ``checkpoint_path``
-    (scripts/train_caption_lm.py); with random weights the client is
+
+class TPUChatClient(ChatClient):
+    """Serves completions from the in-process byte-level LM on TPU with
+    REAL prompt tokens in the decoder context (round 3 — replaces the
+    pooled-embedding conditioning that could not carry instruction
+    content).  Load instruction-tuned weights via ``checkpoint_path``
+    (scripts/train_instruct_lm.py); with random weights the client is
     interface-complete only.
     """
 
-    def __init__(self, cfg=None, params=None, max_prompt_bytes: int = 768,
-                 checkpoint_path: str = ""):
+    def __init__(self, cfg=None, params=None, checkpoint_path: str = "",
+                 max_new: int = 384):
         from ..models.captioner import CaptionerConfig, init_params
-        self.cfg = cfg or CaptionerConfig.base()
+        # decode budget per completion (static per jit; EOS stops early)
+        self.MAX_NEW = max_new
+        self.cfg = cfg or CaptionerConfig.chat()
         self.params = params if params is not None else init_params(self.cfg)
         if checkpoint_path:
             from ..models.checkpoint import load_params
@@ -527,30 +544,42 @@ class TPUChatClient(ChatClient):
         self._mesh = serving_mesh()
         if self._mesh is not None:
             self.params = shard_captioner_params(self.params, self._mesh)
-        self.max_prompt_bytes = max_prompt_bytes
+        # byte budget for the prompt inside the LM context
+        self.max_prompt_bytes = (self.cfg.max_len
+                                 - self.cfg.num_vision_tokens
+                                 - self.MAX_NEW - 2)
 
-    async def complete(self, prompt, system=None, temperature=0.0,
-                       max_tokens=2048) -> str:
+    def _fit_prompt(self, prompt: str) -> str:
+        return fit_prompt_bytes(prompt, self.max_prompt_bytes)
+
+    def complete_sync(self, prompt: str, max_tokens: int = 2048) -> str:
         import jax.numpy as jnp
         import numpy as np
 
         from ..models import tokenizer
-        from ..models.captioner import generate
-
-        # Condition on a pooled byte embedding of the prompt via the vision
-        # prefix slots (prompt-as-prefix conditioning).
-        ids = tokenizer.encode(prompt[-self.max_prompt_bytes:],
-                               add_bos=False, add_eos=False)
-        emb = self.params["tok_emb"]
-        pooled = np.asarray(emb)[np.asarray(ids) % emb.shape[0]].mean(0)
-        vis = jnp.asarray(
-            np.tile(pooled[: self.cfg.vision_dim],
-                    (1, self.cfg.num_vision_tokens, 1)), jnp.float32)
+        from ..models.captioner import generate_from_tokens
         from ..parallel.serving import maybe_mesh
+
+        ids = tokenizer.encode(self._fit_prompt(prompt),
+                               add_bos=True, add_eos=False)
+        # power-of-two length buckets bound the number of prefill compiles
+        t_pad = 64
+        while t_pad < len(ids):
+            t_pad *= 2
+        t_pad = min(t_pad, self.cfg.max_len - self.cfg.num_vision_tokens
+                    - self.MAX_NEW)
+        toks = np.full((1, t_pad), tokenizer.PAD_ID, np.int32)
+        toks[0, :len(ids)] = ids
         with maybe_mesh(self._mesh):
-            toks = generate(self.params, self.cfg, vis,
-                            max_new=min(max_tokens, 256))
-        return tokenizer.decode(np.asarray(toks)[0])
+            out = generate_from_tokens(
+                self.params, self.cfg, jnp.asarray(toks),
+                jnp.int32(len(ids)), max_new=self.MAX_NEW)
+        return tokenizer.decode(np.asarray(out)[0])
+
+    async def complete(self, prompt, system=None, temperature=0.0,
+                       max_tokens=2048) -> str:
+        return await asyncio.to_thread(self.complete_sync, prompt,
+                                       max_tokens)
 
 
 def make_chat_client(kind: str, endpoint: str = "", model: str = "",
