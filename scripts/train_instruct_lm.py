@@ -139,10 +139,10 @@ def tokenize_examples(data, seq_len: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True)
-    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=3072)
-    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-questions", type=int, default=700)
     ap.add_argument("--n-pre", type=int, default=3000)
@@ -230,7 +230,8 @@ def main() -> None:
     print(f"saved {args.out}")
 
     # ---- teacher-match eval on held-out prompts --------------------------
-    budget = cfg.max_len - nv - 400 - 2
+    # stay inside the trained position range (the serve client does too)
+    budget = min(cfg.max_len, args.seq_len) - nv - 400 - 2
     results = {}
     for task, prompt, target in held:
         ids = tokenizer.encode(fit_prompt_bytes(prompt, budget),

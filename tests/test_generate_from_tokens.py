@@ -79,8 +79,13 @@ def test_tpu_chat_client_serves_prompt_tokens():
     out = client.complete_sync("Extract triplets from: a person holds "
                                "a beaker.")
     assert isinstance(out, str)          # random weights: just mechanics
-    # over-long prompts keep head + tail within the byte budget
-    long = "HEAD " + ("x" * 5000) + " TAIL"
-    fitted = client._fit_prompt(long)
-    assert len(fitted.encode()) <= client.max_prompt_bytes + 8
-    assert fitted.startswith("HEAD") and fitted.endswith("TAIL")
+    # over-long prompts keep head + tail STRICTLY within the byte budget
+    # (the +1 BOS token must still fit the decode bucket cap)
+    from vidgraph_tpu.services.llm_client import fit_prompt_bytes
+    for extra in (1, 5, 5000):
+        long = "HEAD " + ("x" * (client.max_prompt_bytes + extra)) + " TAIL"
+        fitted = fit_prompt_bytes(long, client.max_prompt_bytes)
+        assert len(fitted.encode()) < client.max_prompt_bytes
+        assert fitted.startswith("HEAD") and fitted.endswith("TAIL")
+    out = client.complete_sync(long)      # boundary-length prompt serves
+    assert isinstance(out, str)

@@ -110,6 +110,76 @@ def test_rerank_strict_mode_raises(tmp_path):
     assert out == items
 
 
+class _PoolStore(_StubStore):
+    """Vector search returns as many ranked chunks as asked."""
+
+    def __init__(self):
+        self.k_asked = None
+
+    def vector_search_chunks(self, v, k, threshold=0.3):
+        self.k_asked = k
+        return [{"id": f"c{i}", "content": f"chunk {i} text",
+                 "score": round(1.0 - i * 0.05, 3)}
+                for i in range(min(k, 10))]
+
+
+class _KeywordReranker:
+    """Puts any doc containing '7' first — signal cosine doesn't have."""
+
+    async def rerank(self, q, docs, k):
+        order = sorted(range(len(docs)),
+                       key=lambda i: ("7" not in docs[i], i))
+        return [(i, 1.0 if "7" in docs[i] else 0.5) for i in order][:k]
+
+
+def test_rerank_pool_selects_from_wider_candidates():
+    """rerank_pool > 0: the reranker picks the final context from an
+    over-fetched pool instead of re-ordering an already-capped list
+    (VERDICT r2 missing #4 flow change)."""
+    embed = make_embed_client("tpu", dim=32)
+    store = _PoolStore()
+    cfg = RetrievalConfig(use_reranker=True, rerank_pool=10,
+                          top_k_chunks=3, entity_first=False,
+                          rerank_after_traversal=False,
+                          post_compression=False)
+    r = HybridRetriever(cfg, store, embed,
+                        rerank_client=_KeywordReranker(), output_file=None)
+    text, reranked = asyncio.run(r.perform_hybrid_retrieval("which seven?"))
+    assert store.k_asked == 10           # over-fetched
+    assert reranked
+    assert "chunk 7" in text             # reranker rescued rank-8 candidate
+    # cap still applies after the pooled rerank
+    assert text.count("  ") >= 3 and "Chunks (3):" in text
+
+    # pool disabled: vector fetches only top_k_chunks, chunk 7 never seen
+    store2 = _PoolStore()
+    cfg2 = RetrievalConfig(use_reranker=True, rerank_pool=0,
+                           top_k_chunks=3, entity_first=False,
+                           rerank_after_traversal=False,
+                           post_compression=False)
+    r2 = HybridRetriever(cfg2, store2, embed,
+                         rerank_client=_KeywordReranker(),
+                         output_file=None)
+    text2, _ = asyncio.run(r2.perform_hybrid_retrieval("which seven?"))
+    assert store2.k_asked == 3
+    assert "chunk 7" not in text2
+
+
+def test_trained_reranker_client_mechanics():
+    from vidgraph_tpu.models.reranker import (CrossEncoderReranker,
+                                              RerankerConfig)
+    from vidgraph_tpu.services.rerank_client import TrainedRerankClient
+
+    model = CrossEncoderReranker(cfg=RerankerConfig.tiny())
+    client = TrainedRerankClient(model=model)
+    docs = ["red beaker on bench", "blue flask", "green cylinder"]
+    out = asyncio.run(client.rerank("what color is the beaker", docs, 2))
+    assert len(out) == 2
+    idxs = [i for i, _ in out]
+    assert all(0 <= i < 3 for i in idxs) and len(set(idxs)) == 2
+    assert asyncio.run(client.rerank("q", [], 3)) == []
+
+
 # ---------------------------------------------------------------- refiner
 def test_parse_json_object_from_markdown():
     raw = "Here you go:\n```json\n{\"triplets\": [[\"A\",\"r\",\"B\",[0]]]}\n```"

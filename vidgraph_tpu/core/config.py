@@ -116,6 +116,15 @@ class RetrievalConfig(_Model):
     reranker_endpoint: str = "http://localhost:8070/v1/rerank"
     reranker_api_key: str = ""
     reranker_model: str = "qwen-reranker"
+    # trained cross-encoder weights for backend.reranker: trained
+    # (scripts/train_reranker.py)
+    reranker_checkpoint_path: str = ""
+    # When > 0 and a reranker is active, vector search over-fetches this
+    # many chunk candidates, the COMBINED (vector + traversal) pool is
+    # reranked as one list, and only then capped at top_k_chunks — so the
+    # reranker genuinely selects the context instead of re-ordering an
+    # already-capped list.  0 preserves the reference flow.
+    rerank_pool: int = 0
     top_k: int = 5
     top_k_chunks: int = 3
     top_k_entities: int = 5

@@ -63,7 +63,8 @@ class KGBuilder:
                 b.reranker, embed_client=self.embed,
                 endpoint=config.retrieval.reranker_endpoint,
                 model=config.retrieval.reranker_model,
-                api_key=config.retrieval.reranker_api_key)
+                api_key=config.retrieval.reranker_api_key,
+                checkpoint_path=config.retrieval.reranker_checkpoint_path)
 
         self.store = graph_store if graph_store is not None else \
             open_graph_store(config, self.run_uuid,

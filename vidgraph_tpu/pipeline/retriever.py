@@ -43,7 +43,8 @@ class OfflineRetriever:
                 config.backend.reranker, embed_client=self.embed,
                 endpoint=config.retrieval.reranker_endpoint,
                 model=config.retrieval.reranker_model,
-                api_key=config.retrieval.reranker_api_key)
+                api_key=config.retrieval.reranker_api_key,
+                checkpoint_path=config.retrieval.reranker_checkpoint_path)
         self.hybrid = HybridRetriever(config.retrieval, self.store,
                                       self.embed, self.rerank,
                                       output_file=None)

@@ -195,6 +195,14 @@ class HybridRetriever:
             t_start = time.perf_counter()
             reranked = False
 
+            # rerank_pool: over-fetch candidates so the reranker SELECTS
+            # the final context rather than re-ordering a capped list
+            pool = (self.config.rerank_pool
+                    if (self.config.rerank_pool or 0) > 0
+                    and self.config.use_reranker
+                    and self.reranker is not None else 0)
+            n_fetch = max(self.config.top_k_chunks, pool)
+
             # Step 1: vector + fulltext (vector skipped in entity_first mode)
             if self.config.entity_first:
                 chunk_results: List[Dict] = []
@@ -206,7 +214,7 @@ class HybridRetriever:
                     query, self.config.top_k_entities)
                 qvec = await qvec_task
                 chunk_results = self.store.vector_search_chunks(
-                    qvec, self.config.top_k_chunks, threshold=0.3)
+                    qvec, n_fetch, threshold=0.3)
 
             if true_chunks:
                 self._log_rankings(true_chunks, chunk_results,
@@ -225,27 +233,54 @@ class HybridRetriever:
                     query, chunk_results)
 
             # Step 4: reranking
-            if self.config.rerank_after_traversal:
-                if self.config.rerank_entities and expanded:
-                    expanded = await self._rerank(
-                        query, expanded, "name", raise_on_failure=True)
+            if pool:
+                # pooled mode: one rerank over the deduped combined set,
+                # THEN the top_k_chunks cap — the reranker picks the
+                # context (reference cross-encoder flow:
+                # src/pipeline/retriever_hybrid.py:524-547)
+                if self.config.rerank_after_traversal:
+                    if self.config.rerank_entities and expanded:
+                        expanded = await self._rerank(
+                            query, expanded, "name", raise_on_failure=True)
+                    if self.config.rerank_relationships and trav_rels:
+                        trav_rels = await self._rerank(
+                            query, trav_rels, "description",
+                            raise_on_failure=True)
+                combined, seen_ids = [], set()
+                for c in (chunk_results or []) + (trav_chunks or []):
+                    cid = c.get("id", id(c))
+                    if cid not in seen_ids:
+                        seen_ids.add(cid)
+                        combined.append(c)
+                if combined:
+                    combined = await self._rerank(
+                        query, combined, "content",
+                        raise_on_failure=self.config.rerank_after_traversal)
                     reranked = True
-                if self.config.rerank_relationships and trav_rels:
-                    trav_rels = await self._rerank(
-                        query, trav_rels, "description",
-                        raise_on_failure=True)
+                result_chunks = combined[:self.config.top_k_chunks]
+            else:
+                if self.config.rerank_after_traversal:
+                    if self.config.rerank_entities and expanded:
+                        expanded = await self._rerank(
+                            query, expanded, "name", raise_on_failure=True)
+                        reranked = True
+                    if self.config.rerank_relationships and trav_rels:
+                        trav_rels = await self._rerank(
+                            query, trav_rels, "description",
+                            raise_on_failure=True)
+                        reranked = True
+                    if trav_chunks:
+                        trav_chunks = await self._rerank(
+                            query, trav_chunks, "content",
+                            raise_on_failure=True)
+                        reranked = True
+                elif self.config.use_reranker and chunk_results:
+                    chunk_results = await self._rerank(query, chunk_results,
+                                                       "content")
                     reranked = True
-                if trav_chunks:
-                    trav_chunks = await self._rerank(
-                        query, trav_chunks, "content", raise_on_failure=True)
-                    reranked = True
-            elif self.config.use_reranker and chunk_results:
-                chunk_results = await self._rerank(query, chunk_results,
-                                                   "content")
-                reranked = True
 
-            result_chunks = ((chunk_results or []) + (trav_chunks or []))
-            result_chunks = result_chunks[:self.config.top_k_chunks]
+                result_chunks = ((chunk_results or []) + (trav_chunks or []))
+                result_chunks = result_chunks[:self.config.top_k_chunks]
 
             if true_chunks:
                 self._log_rankings(true_chunks, result_chunks,

@@ -513,7 +513,7 @@ def fit_prompt_bytes(prompt: str, budget: int) -> str:
     if len(raw) <= budget:
         return prompt
     head = budget // 4
-    tail = budget - head
+    tail = budget - head - 6          # stay under budget incl. the joiner
     return (raw[:head] + b"\n...\n" + raw[-tail:]).decode(
         "utf-8", errors="replace")
 
@@ -534,19 +534,36 @@ class TPUChatClient(ChatClient):
         self.MAX_NEW = max_new
         self.cfg = cfg or CaptionerConfig.chat()
         self.params = params if params is not None else init_params(self.cfg)
+        trained_seq = None
         if checkpoint_path:
             from ..models.checkpoint import load_params
             self.params = load_params(self.params, checkpoint_path)
             logger.info("Loaded TPU chat LM weights from %s",
                         checkpoint_path)
+            # training metadata caps the usable context: positions beyond
+            # the trained sequence length carry untrained pos embeddings
+            import json as _json
+            from pathlib import Path as _Path
+            meta_path = _Path(checkpoint_path).with_suffix(".json")
+            if meta_path.exists():
+                try:
+                    trained_seq = int(_json.loads(
+                        meta_path.read_text()).get("seq_len", 0)) or None
+                except (ValueError, OSError):
+                    trained_seq = None
         # tensor-parallel serving over the process-wide mesh when active
         from ..parallel.serving import serving_mesh, shard_captioner_params
         self._mesh = serving_mesh()
         if self._mesh is not None:
             self.params = shard_captioner_params(self.params, self._mesh)
-        # byte budget for the prompt inside the LM context
-        self.max_prompt_bytes = (self.cfg.max_len
-                                 - self.cfg.num_vision_tokens
+        # byte budget for the prompt inside the LM context (never past the
+        # trained position range when a checkpoint documents one)
+        ctx_limit = self.cfg.max_len
+        if trained_seq:
+            ctx_limit = min(ctx_limit, trained_seq)
+            logger.info("Chat LM context capped at trained seq_len %d",
+                        trained_seq)
+        self.max_prompt_bytes = (ctx_limit - self.cfg.num_vision_tokens
                                  - self.MAX_NEW - 2)
 
     def _fit_prompt(self, prompt: str) -> str:

@@ -43,6 +43,31 @@ class TPURerankClient(RerankClient):
         return [(int(i), float(scores[i])) for i in order]
 
 
+class TrainedRerankClient(RerankClient):
+    """Cross-encoder reranker on device (``backend.reranker: trained``):
+    query and document attend to each other inside one transformer, the
+    signal the reference bought from its external ``/rerank`` service
+    (reference: src/pipeline/retriever_hybrid.py:524-547) and that
+    embedding-cosine rerank cannot add.  Weights from
+    scripts/train_reranker.py via ``checkpoint_path``."""
+
+    def __init__(self, checkpoint_path: str = "", model=None) -> None:
+        from ..models.reranker import CrossEncoderReranker
+        self._model = model or CrossEncoderReranker(
+            checkpoint_path=checkpoint_path)
+        if checkpoint_path:
+            logger.info("Loaded trained reranker from %s", checkpoint_path)
+
+    async def rerank(self, query, documents, top_k):
+        if not documents:
+            return []
+        import asyncio
+        scores = await asyncio.to_thread(self._model.score, query,
+                                         list(documents))
+        order = np.argsort(-scores)[:top_k]
+        return [(int(i), float(scores[i])) for i in order]
+
+
 class HttpRerankClient(RerankClient):
     def __init__(self, endpoint: str, model: str, api_key: str = "",
                  timeout: float = 30.0) -> None:
@@ -79,11 +104,14 @@ class HttpRerankClient(RerankClient):
 
 def make_rerank_client(kind: str, embed_client=None, endpoint: str = "",
                        model: str = "", api_key: str = "",
+                       checkpoint_path: str = "",
                        ) -> Optional[RerankClient]:
     if kind == "tpu":
         if embed_client is None:
             raise ValueError("tpu reranker needs an embed client")
         return TPURerankClient(embed_client)
+    if kind == "trained":
+        return TrainedRerankClient(checkpoint_path=checkpoint_path)
     if kind == "http":
         return HttpRerankClient(endpoint, model, api_key)
     if kind in ("none", "", None):
