@@ -88,31 +88,91 @@ def queries_for(chunk: str, rng: random.Random) -> list:
     return qs
 
 
-def build_groups(chunks, rng: random.Random, n_negs: int = 11):
-    """-> list of (query, docs[1+K], pos_idx) with hard+random negatives."""
+def _dropout_words(q: str, rng: random.Random, p: float = 0.15) -> str:
+    words = q.split()
+    if len(words) < 4:
+        return q
+    kept = [w for w in words if rng.random() > p]
+    return " ".join(kept) if len(kept) >= 3 else q
+
+
+def build_groups(chunks, rng: random.Random, n_negs: int = 11,
+                 samplings_per_query: int = 2):
+    """-> list of (query, docs[1+K], pos_idx) with hard+random negatives.
+
+    Each query gets ``samplings_per_query`` independent negative draws
+    (the fixed-group memorization failure mode showed up as held-out
+    top-1 BELOW the cosine baseline) and 15% query word-dropout."""
     from vidgraph_tpu.services.embed_client import make_embed_client
 
     embed = make_embed_client("tpu", dim=512)
     vecs = embed.embed(list(chunks))
     sims = vecs @ vecs.T
     np.fill_diagonal(sims, -1.0)
-    hard = np.argsort(-sims, axis=1)[:, :8]
+    hard = np.argsort(-sims, axis=1)[:, :10]
 
     groups = []
     for i, chunk in enumerate(chunks):
         for q in queries_for(chunk, rng):
-            negs = list(hard[i][:n_negs // 2])
-            while len(negs) < n_negs:
-                j = rng.randrange(len(chunks))
-                if j != i and j not in negs:
-                    negs.append(j)
-            docs = [chunk] + [chunks[j] for j in negs]
-            order = list(range(len(docs)))
-            rng.shuffle(order)
-            docs = [docs[k] for k in order]
-            pos = order.index(0)
-            groups.append((q, docs, pos))
+            for _ in range(samplings_per_query):
+                n_hard = rng.randint(3, n_negs // 2 + 1)
+                negs = list(rng.sample(list(hard[i]), n_hard))
+                while len(negs) < n_negs:
+                    j = rng.randrange(len(chunks))
+                    if j != i and j not in negs:
+                        negs.append(j)
+                docs = [chunk] + [chunks[j] for j in negs]
+                order = list(range(len(docs)))
+                rng.shuffle(order)
+                docs = [docs[k] for k in order]
+                pos = order.index(0)
+                groups.append((_dropout_words(q, rng), docs, pos))
     rng.shuffle(groups)
+    return groups
+
+
+_SYN_COLORS = ["red", "blue", "green", "yellow", "white", "black", "gray",
+               "orange", "purple", "brown", "transparent", "silver"]
+_SYN_OBJECTS = ["beaker", "flask", "balance", "smartphone", "glove",
+                "pipette", "notebook", "monitor", "bottle", "stirrer",
+                "scale", "tray", "goggles", "cylinder", "funnel", "burner",
+                "thermometer", "syringe", "clamp", "rack"]
+_SYN_VERBS = ["holds", "pours", "adjusts", "uses", "opens", "places",
+              "measures", "picks up", "touches", "carries", "examines"]
+
+
+def synthetic_groups(rng: random.Random, n_groups: int, n_negs: int = 11):
+    """Compositional groups: the positive is the ONLY doc matching the
+    queried (color, object) or (verb, object) combination, negatives
+    reuse the same vocabulary — teaches term matching, not memory."""
+    groups = []
+    for _ in range(n_groups):
+        color = rng.choice(_SYN_COLORS)
+        obj = rng.choice(_SYN_OBJECTS)
+        verb = rng.choice(_SYN_VERBS)
+        pos_doc = (f"The person {verb} the {color} {obj} on the bench "
+                   f"near a {rng.choice(_SYN_COLORS)} "
+                   f"{rng.choice(_SYN_OBJECTS)}.")
+        q = rng.choice([
+            f"What color is the {obj}?",
+            f"What does the person do with the {obj}?",
+            f"Where is the {color} {obj}?",
+            f"What does the person {verb.split()[0]}?",
+        ])
+        docs = [pos_doc]
+        while len(docs) < 1 + n_negs:
+            c2 = rng.choice(_SYN_COLORS)
+            o2 = rng.choice(_SYN_OBJECTS)
+            v2 = rng.choice(_SYN_VERBS)
+            if o2 == obj and (c2 == color or v2 == verb):
+                continue                      # would be a second positive
+            docs.append(f"The person {v2} the {c2} {o2} on the bench "
+                        f"near a {rng.choice(_SYN_COLORS)} "
+                        f"{rng.choice(_SYN_OBJECTS)}.")
+        order = list(range(len(docs)))
+        rng.shuffle(order)
+        docs = [docs[k] for k in order]
+        groups.append((q, docs, order.index(0)))
     return groups
 
 
@@ -123,7 +183,13 @@ def main() -> None:
     ap.add_argument("--groups-per-batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--heldout", type=int, default=100)
+    ap.add_argument("--heldout", type=int, default=120)
+    ap.add_argument("--lam", type=float, default=8.0,
+                    help="cosine-prior weight in the residual objective")
+    ap.add_argument("--score-reg", type=float, default=0.02,
+                    help="L2 penalty on cross-encoder scores: the residual "
+                         "stays near zero unless it genuinely pays")
+    ap.add_argument("--synth-groups", type=int, default=3000)
     ap.add_argument("--out", default="checkpoints/reranker.npz")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
@@ -135,20 +201,32 @@ def main() -> None:
     chunks = list(dict.fromkeys(captions))
     print(f"{len(chunks)} corpus chunks")
 
-    groups = build_groups(chunks, rng)
-    held = groups[:args.heldout]
-    groups = groups[args.heldout:]
-    print(f"{len(groups)} train groups / {len(held)} held-out")
+    corpus_groups = build_groups(chunks, rng)
+    rng.shuffle(corpus_groups)
+    held = corpus_groups[:args.heldout]       # held-out = corpus style
+    groups = (corpus_groups[args.heldout:]
+              + synthetic_groups(rng, args.synth_groups))
+    rng.shuffle(groups)
+    print(f"{len(groups)} train groups ({args.synth_groups} synthetic) / "
+          f"{len(held)} held-out")
 
     cfg = RerankerConfig.tiny() if args.tiny else RerankerConfig()
     params = init_reranker_params(cfg, seed=args.seed)
-    n_docs = len(groups[0][1])
 
     # pre-tokenize all groups: [G, n_docs, T]
     toks = np.stack([batch_encode_pairs(q, docs, cfg)
                      for q, docs, _ in groups])
     pos = np.array([p for _, _, p in groups], np.int32)
-    print(f"tokenized {toks.shape}")
+    # residual objective: training logits = cross + lambda * cosine prior,
+    # so a zero-signal model reproduces the cosine baseline exactly
+    from vidgraph_tpu.services.embed_client import make_embed_client
+
+    embed = make_embed_client("tpu", dim=512)
+    sims = np.zeros((len(groups), len(groups[0][1])), np.float32)
+    for g, (q, docs, _) in enumerate(groups):
+        vecs = embed.embed([q] + list(docs))
+        sims[g] = vecs[1:] @ vecs[0]
+    print(f"tokenized {toks.shape} (cosine prior lambda={args.lam})")
 
     warmup = min(100, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
@@ -158,16 +236,19 @@ def main() -> None:
                      optax.adamw(sched, weight_decay=0.01))
     opt_state = tx.init(params)
 
-    def loss_fn(p, batch_toks, batch_pos):
+    def loss_fn(p, batch_toks, batch_pos, batch_sims):
         g, d, t = batch_toks.shape
         scores = reranker_scores(p, cfg,
                                  batch_toks.reshape(g * d, t)).reshape(g, d)
-        return optax.softmax_cross_entropy_with_integer_labels(
-            scores, batch_pos).mean()
+        logits = scores + args.lam * batch_sims
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch_pos).mean()
+        return ce + args.score_reg * jnp.mean(jnp.square(scores))
 
     @jax.jit
-    def train_step(p, o, batch_toks, batch_pos):
-        loss, grads = jax.value_and_grad(loss_fn)(p, batch_toks, batch_pos)
+    def train_step(p, o, batch_toks, batch_pos, batch_sims):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch_toks, batch_pos,
+                                                  batch_sims)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
@@ -177,7 +258,7 @@ def main() -> None:
         idx = nrng.integers(0, toks.shape[0], size=args.groups_per_batch)
         params, opt_state, loss = train_step(
             params, opt_state, jnp.asarray(toks[idx]),
-            jnp.asarray(pos[idx]))
+            jnp.asarray(pos[idx]), jnp.asarray(sims[idx]))
         if step % 200 == 0 or step == args.steps - 1:
             dt = time.time() - t0
             rate = f"  ({step / dt:.1f} it/s)" if step else ""
@@ -186,19 +267,19 @@ def main() -> None:
     save_params(params, args.out)
     Path(args.out).with_suffix(".json").write_text(json.dumps(
         {"config": "tiny" if args.tiny else "default",
-         "steps": args.steps, "final_loss": float(loss)}))
+         "steps": args.steps, "final_loss": float(loss),
+         "cosine_lambda": args.lam}))
     print(f"saved {args.out}")
 
     # ---- held-out eval vs the cosine baseline ---------------------------
-    from vidgraph_tpu.services.embed_client import make_embed_client
-
-    embed = make_embed_client("tpu", dim=512)
     fwd = jax.jit(lambda p, t: reranker_scores(p, cfg, t))
     top1 = mrr = 0.0
     base_top1 = base_mrr = 0.0
     for q, docs, p_idx in held:
+        vq = embed.embed([q] + list(docs))
         s = np.asarray(fwd(params, jnp.asarray(
             batch_encode_pairs(q, docs, cfg))))
+        s = s + args.lam * (vq[1:] @ vq[0])
         rank = int(np.where(np.argsort(-s) == p_idx)[0][0]) + 1
         top1 += rank == 1
         mrr += 1.0 / rank

@@ -100,15 +100,33 @@ def reranker_scores(params, cfg: RerankerConfig,
 
 class CrossEncoderReranker:
     """Host-facing wrapper: (query, documents) -> scores, batched on
-    device with power-of-two padding (bounded compiles)."""
+    device with power-of-two padding (bounded compiles).
+
+    Trained as a RESIDUAL on the retrieval-embedder cosine prior
+    (training logits = cross_score + λ·cosine): with zero signal the
+    ranking equals the cosine baseline, so the cross-encoder can only
+    add — never destroy — ordering quality.  Serve with the same
+    ``embed_client`` to reproduce the prior; λ comes from the checkpoint
+    sidecar metadata."""
 
     def __init__(self, cfg: RerankerConfig = None, seed: int = 0,
-                 checkpoint_path: str = "") -> None:
+                 checkpoint_path: str = "", embed_client=None) -> None:
         self.cfg = cfg or RerankerConfig()
         self.params = init_reranker_params(self.cfg, seed)
+        self.cosine_lambda = 0.0
+        self._embed = embed_client
         if checkpoint_path:
             from .checkpoint import load_params
             self.params = load_params(self.params, checkpoint_path)
+            import json
+            from pathlib import Path
+            meta = Path(checkpoint_path).with_suffix(".json")
+            if meta.exists():
+                try:
+                    self.cosine_lambda = float(json.loads(
+                        meta.read_text()).get("cosine_lambda", 0.0))
+                except (ValueError, OSError):
+                    pass
         self._fwd = jax.jit(
             lambda p, t: reranker_scores(p, self.cfg, t))
 
@@ -124,4 +142,8 @@ class CrossEncoderReranker:
             toks = np.concatenate(
                 [toks, np.full((nb - n, toks.shape[1]), tokenizer.PAD_ID,
                                toks.dtype)])
-        return np.asarray(self._fwd(self.params, jnp.asarray(toks)))[:n]
+        s = np.asarray(self._fwd(self.params, jnp.asarray(toks)))[:n]
+        if self.cosine_lambda and self._embed is not None:
+            vecs = self._embed.embed([query] + list(docs))
+            s = s + self.cosine_lambda * (vecs[1:] @ vecs[0])
+        return s

@@ -51,12 +51,15 @@ class TrainedRerankClient(RerankClient):
     embedding-cosine rerank cannot add.  Weights from
     scripts/train_reranker.py via ``checkpoint_path``."""
 
-    def __init__(self, checkpoint_path: str = "", model=None) -> None:
+    def __init__(self, checkpoint_path: str = "", model=None,
+                 embed_client=None) -> None:
         from ..models.reranker import CrossEncoderReranker
         self._model = model or CrossEncoderReranker(
-            checkpoint_path=checkpoint_path)
+            checkpoint_path=checkpoint_path, embed_client=embed_client)
         if checkpoint_path:
-            logger.info("Loaded trained reranker from %s", checkpoint_path)
+            logger.info("Loaded trained reranker from %s (cosine prior "
+                        "lambda=%.1f)", checkpoint_path,
+                        self._model.cosine_lambda)
 
     async def rerank(self, query, documents, top_k):
         if not documents:
@@ -111,7 +114,8 @@ def make_rerank_client(kind: str, embed_client=None, endpoint: str = "",
             raise ValueError("tpu reranker needs an embed client")
         return TPURerankClient(embed_client)
     if kind == "trained":
-        return TrainedRerankClient(checkpoint_path=checkpoint_path)
+        return TrainedRerankClient(checkpoint_path=checkpoint_path,
+                                   embed_client=embed_client)
     if kind == "http":
         return HttpRerankClient(endpoint, model, api_key)
     if kind in ("none", "", None):
