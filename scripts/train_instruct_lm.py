@@ -115,11 +115,12 @@ def real_retrieval_pairs(captions, rng, n_questions: int):
 
 
 def tokenize_examples(data, seq_len: int):
-    """-> tokens [N, seq_len+1] int32, prompt_lens [N] int32.  Loss is
-    masked to the response span downstream."""
-    toks = np.full((len(data), seq_len + 1), tokenizer.PAD_ID, np.int32)
-    plens = np.zeros((len(data),), np.int32)
-    kept = 0
+    """-> list of (tokens [N, L+1], prompt_lens [N]) buckets.  Short
+    examples train at half sequence length (separate jit shape), roughly
+    halving the average step cost; loss is masked to the response span
+    downstream."""
+    short_len = seq_len // 2
+    buckets = {short_len: ([], []), seq_len: ([], [])}
     for task, prompt, resp in data:
         rids = tokenizer.encode(resp, add_bos=False, add_eos=True)
         if len(rids) > 400:                      # serve-time decode budget
@@ -130,10 +131,13 @@ def tokenize_examples(data, seq_len: int):
         if len(pids) + len(rids) > seq_len + 1 or len(pids) < 4:
             continue
         seq = pids + rids
-        toks[kept, :len(seq)] = seq
-        plens[kept] = len(pids)
-        kept += 1
-    return toks[:kept], plens[:kept]
+        length = short_len if len(seq) <= short_len + 1 else seq_len
+        arr = np.full((length + 1,), tokenizer.PAD_ID, np.int32)
+        arr[:len(seq)] = seq
+        buckets[length][0].append(arr)
+        buckets[length][1].append(len(pids))
+    return [(np.stack(t), np.asarray(p, np.int32))
+            for t, p in buckets.values() if t]
 
 
 def main() -> None:
@@ -144,8 +148,8 @@ def main() -> None:
     ap.add_argument("--seq-len", type=int, default=3072)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--n-questions", type=int, default=700)
-    ap.add_argument("--n-pre", type=int, default=3000)
+    ap.add_argument("--n-questions", type=int, default=1200)
+    ap.add_argument("--n-pre", type=int, default=3500)
     ap.add_argument("--out", default="checkpoints/instruct_lm.npz")
     ap.add_argument("--eval-count", type=int, default=48,
                     help="held-out examples for the teacher-match eval")
@@ -173,8 +177,8 @@ def main() -> None:
     print(f"dataset: {len(data)} train / {len(held)} held-out "
           f"{dict(Counter(t for t, _, _ in data))}")
 
-    toks, plens = tokenize_examples(data, args.seq_len)
-    print(f"tokenized: {toks.shape}")
+    buckets = tokenize_examples(data, args.seq_len)
+    print("tokenized buckets:", [b[0].shape for b in buckets])
 
     cfg = (CaptionerConfig(width=64, layers=2, heads=2, vision_dim=64,
                            num_vision_tokens=2, max_len=args.seq_len + 512)
@@ -210,9 +214,16 @@ def main() -> None:
         return optax.apply_updates(p, updates), o, loss
 
     nrng = np.random.default_rng(args.seed)
+    # sample buckets proportional to their example counts; short-bucket
+    # batches are larger so tokens/step stays roughly constant
+    weights = np.asarray([b[0].shape[0] for b in buckets], np.float64)
+    weights /= weights.sum()
     t0 = time.time()
     for step in range(args.steps):
-        idx = nrng.integers(0, toks.shape[0], size=args.batch)
+        bi = int(nrng.choice(len(buckets), p=weights))
+        toks, plens = buckets[bi]
+        bsz = args.batch * (args.seq_len + 1) // toks.shape[1]
+        idx = nrng.integers(0, toks.shape[0], size=max(1, bsz))
         params, opt_state, loss = train_step(
             params, opt_state, jnp.asarray(toks[idx]),
             jnp.asarray(plens[idx]))
@@ -224,7 +235,7 @@ def main() -> None:
 
     save_params(params, args.out)
     meta = {"config": "chat", "steps": args.steps, "seq_len": args.seq_len,
-            "train_examples": int(toks.shape[0]),
+            "train_examples": int(sum(b[0].shape[0] for b in buckets)),
             "final_loss": float(loss)}
     Path(args.out).with_suffix(".json").write_text(json.dumps(meta))
     print(f"saved {args.out}")

@@ -67,8 +67,8 @@ def synth_sentence(rng: random.Random) -> str:
 
 
 def make_chunks(captions: Sequence[str], rng: random.Random,
-                chunk_sizes: Sequence[int] = (140, 296),
-                synth_fraction: float = 0.3) -> List[str]:
+                chunk_sizes: Sequence[int] = (140, 200, 296),
+                synth_fraction: float = 0.8) -> List[str]:
     """Batch texts shaped like KGBuilder's aggregation, split with the
     real token splitter — plus synthetic-caption chunks for diversity."""
     from ..pipeline.text_splitter import TokenTextSplitter
