@@ -62,3 +62,28 @@ def test_shipped_configs_parse():
     hr = PipelineConfig.from_yaml("config/high_recall_config.yaml")
     assert hr.retrieval.post_compression is False
     assert hr.retrieval.top_k_chunks == 5
+    tl = PipelineConfig.from_yaml("config/tpu_llm_config.yaml")
+    assert tl.backend.llm == "tpu"
+    assert tl.benchmark_llm.judge_backend == "local"
+    assert tl.chunking.chunk_timeout_seconds >= 60
+    assert tl.llm_injector.checkpoint_path.endswith("instruct_lm.npz")
+
+
+def test_benchmark_judge_backend_override():
+    """benchmark_llm.judge_backend pins the judge client separately from
+    answer generation (PARITY.md deliberate deviation)."""
+    from vidgraph_tpu.pipeline.benchmark import BenchmarkEvaluator
+    from vidgraph_tpu.services.llm_client import (HttpChatClient,
+                                                  LocalChatClient)
+
+    cfg = PipelineConfig()
+    cfg.backend.llm = "http"
+    cfg.benchmark_llm.judge_backend = "local"
+    ev = BenchmarkEvaluator(cfg)
+    assert isinstance(ev.chat, HttpChatClient)
+    assert isinstance(ev.judge, LocalChatClient)
+
+    cfg2 = PipelineConfig()
+    cfg2.backend.llm = "local"
+    ev2 = BenchmarkEvaluator(cfg2)      # default: one client, both roles
+    assert ev2.judge is ev2.chat
