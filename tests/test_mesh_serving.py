@@ -107,6 +107,30 @@ def test_tpu_vlm_caption_identical_mesh_vs_single():
     assert tp_caps == sd_caps
 
 
+def test_tpu_chat_prompt_decode_identical_mesh_vs_single():
+    """The round-3 prompt-token chat path (generate_from_tokens) must
+    produce identical completions tensor-sharded vs single-device."""
+    import jax.numpy as jnp
+
+    from vidgraph_tpu.models.captioner import CaptionerConfig
+    from vidgraph_tpu.services.llm_client import TPUChatClient
+
+    cfg = CaptionerConfig(width=128, layers=2, heads=4, vision_dim=64,
+                          num_vision_tokens=2, max_len=640,
+                          dtype=jnp.float32)
+    prompt = "Extract triplets: the person holds a red beaker."
+
+    serving.configure(enabled=True, model_axis=2)
+    tp = TPUChatClient(cfg=cfg, max_new=16)
+    assert tp._mesh is not None
+    tp_out = tp.complete_sync(prompt)
+
+    serving.configure(enabled=False)
+    sd = TPUChatClient(cfg=cfg, max_new=16)
+    assert sd._mesh is None
+    assert tp_out == sd.complete_sync(prompt)
+
+
 def test_realtime_engine_memories_sharded_when_enabled():
     from vidgraph_tpu.services.embed_client import make_embed_client
     from vidgraph_tpu.streams.realtime import RealtimeEngine, StreamSpec
