@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import random
 import re
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..pipeline.prompts import (build_benchmark_answer_prompt,
                                 build_injector_prompt,
