@@ -168,8 +168,12 @@ def main() -> None:
     ap.add_argument("--seq-len", type=int, default=3072)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--n-questions", type=int, default=1200)
-    ap.add_argument("--n-pre", type=int, default=3500)
+    ap.add_argument("--n-questions", type=int, default=1500)
+    ap.add_argument("--n-pre", type=int, default=10000)
+    ap.add_argument("--n-synth-answers", type=int, default=8000)
+    ap.add_argument("--n-instr", type=int, default=2500)
+    ap.add_argument("--n-consol", type=int, default=1500)
+    ap.add_argument("--n-copy", type=int, default=3000)
     ap.add_argument("--out", default="checkpoints/instruct_lm.npz")
     ap.add_argument("--eval-count", type=int, default=48,
                     help="held-out examples for the teacher-match eval")
@@ -184,13 +188,16 @@ def main() -> None:
         captions = captions[:12]
         args.n_questions = min(args.n_questions, 4)
         args.n_pre = min(args.n_pre, 12)
+        args.n_synth_answers = min(args.n_synth_answers, 6)
+        args.n_instr, args.n_consol, args.n_copy = 4, 4, 4
         args.eval_count = 4
     t0 = time.time()
     qc = real_retrieval_pairs(captions, rng, args.n_questions)
     print(f"retrieval pairs: {len(qc)} in {time.time() - t0:.1f}s")
-    kw = (dict(n_instr=4, n_consol=4, n_copy=4) if args.smoke else {})
-    data = instruct_data.build_dataset(captions, rng, n_pre=args.n_pre,
-                                       qc_pairs=qc, **kw)
+    data = instruct_data.build_dataset(
+        captions, rng, n_pre=args.n_pre, n_instr=args.n_instr,
+        n_consol=args.n_consol, n_copy=args.n_copy,
+        n_synth_answers=args.n_synth_answers, qc_pairs=qc)
     held = data[:args.eval_count]
     data = data[args.eval_count:]
     from collections import Counter
@@ -233,11 +240,27 @@ def main() -> None:
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
+    # held-out LOSS batches (generalization signal + early-stop pick; the
+    # round-3 first run hit train loss 0.00 while novel-prompt output was
+    # garbage — pure memorization)
+    held_buckets = tokenize_examples(held, args.seq_len)
+    eval_loss_fn = jax.jit(loss_fn)
+
+    def held_loss() -> float:
+        tot = n = 0.0
+        for toks_h, plens_h in held_buckets:
+            m = min(16, toks_h.shape[0])
+            tot += float(eval_loss_fn(params, jnp.asarray(toks_h[:m]),
+                                      jnp.asarray(plens_h[:m]))) * m
+            n += m
+        return tot / max(n, 1.0)
+
     nrng = np.random.default_rng(args.seed)
     # sample buckets proportional to their example counts; short-bucket
     # batches are larger so tokens/step stays roughly constant
     weights = np.asarray([b[0].shape[0] for b in buckets], np.float64)
     weights /= weights.sum()
+    best = {"loss": float("inf"), "step": -1, "params": None}
     t0 = time.time()
     for step in range(args.steps):
         bi = int(nrng.choice(len(buckets), p=weights))
@@ -249,14 +272,25 @@ def main() -> None:
             jnp.asarray(plens[idx]))
         if step % 200 == 0 or step == args.steps - 1:
             dt = time.time() - t0
-            print(f"step {step:5d}  loss {float(loss):.4f}  "
-                  f"({step / dt:.1f} it/s)" if step else
-                  f"step {step:5d}  loss {float(loss):.4f}")
+            rate = f"  ({step / dt:.1f} it/s)" if step else ""
+            print(f"step {step:5d}  loss {float(loss):.4f}{rate}")
+        if (step % 1000 == 0 and step) or step == args.steps - 1:
+            hl = held_loss()
+            print(f"step {step:5d}  HELD loss {hl:.4f}")
+            if hl < best["loss"]:
+                best = {"loss": hl, "step": step,
+                        "params": jax.tree_util.tree_map(
+                            lambda x: np.asarray(x), params)}
 
+    if best["params"] is not None and best["step"] < args.steps - 1:
+        print(f"early-stop pick: step {best['step']} "
+              f"(held {best['loss']:.4f})")
+        params = best["params"]
     save_params(params, args.out)
     meta = {"config": "chat", "steps": args.steps, "seq_len": args.seq_len,
             "train_examples": int(sum(b[0].shape[0] for b in buckets)),
-            "final_loss": float(loss)}
+            "final_loss": float(loss), "held_loss": best["loss"],
+            "held_best_step": best["step"]}
     Path(args.out).with_suffix(".json").write_text(json.dumps(meta))
     print(f"saved {args.out}")
 
@@ -276,17 +310,20 @@ def main() -> None:
         out = tokenizer.decode(np.asarray(generate_from_tokens(
             params, cfg, jnp.asarray(arr), jnp.int32(len(ids)),
             max_new=400))[0])
-        em = out.strip() == target.strip()
+        import collections
         a, b = out.strip(), target.strip()
-        overlap = (sum(1 for x, y in zip(a, b) if x == y)
-                   / max(1, max(len(a), len(b))))
-        r = results.setdefault(task, {"n": 0, "em": 0, "overlap": 0.0})
+        ta, tb = a.split(), b.split()
+        common = sum((collections.Counter(ta)
+                      & collections.Counter(tb)).values())
+        f1 = (2 * common / (len(ta) + len(tb))
+              if ta and tb and common else 0.0)
+        r = results.setdefault(task, {"n": 0, "em": 0, "f1": 0.0})
         r["n"] += 1
-        r["em"] += em
-        r["overlap"] += overlap
+        r["em"] += a == b
+        r["f1"] += f1
     for task, r in sorted(results.items()):
         print(f"eval[{task}]: n={r['n']} exact={r['em']}/{r['n']} "
-              f"char-overlap={r['overlap'] / r['n']:.3f}")
+              f"token-f1={r['f1'] / r['n']:.3f}")
 
 
 if __name__ == "__main__":

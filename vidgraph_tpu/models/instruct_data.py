@@ -33,14 +33,23 @@ from ..services.llm_client import LocalChatClient, extractive_answer
 Example = Tuple[str, str, str]          # (task, prompt, response)
 
 _COLORS = ["red", "blue", "green", "yellow", "white", "black", "gray",
-           "orange", "purple", "brown", "transparent", "silver"]
+           "orange", "purple", "brown", "transparent", "silver", "cyan",
+           "magenta", "pink", "golden", "dark blue", "pale green", "amber",
+           "turquoise"]
 _OBJECTS = ["beaker", "flask", "balance", "smartphone", "glove", "pipette",
             "notebook", "monitor", "bottle", "stirrer", "scale", "tray",
             "goggles", "cylinder", "funnel", "burner", "thermometer",
-            "syringe", "clamp", "rack"]
+            "syringe", "clamp", "rack", "crucible", "tongs", "spatula",
+            "dropper", "vial", "petri dish", "microscope", "centrifuge",
+            "hotplate", "wash bottle", "test tube", "stand", "keyboard",
+            "timer", "marker", "label", "stopwatch", "container"]
 _VERBS = ["holds", "contains", "displays", "uses", "wears", "touches",
           "observes", "supports", "measures", "pours", "adjusts",
-          "examines", "carries", "opens", "places"]
+          "examines", "carries", "opens", "places", "lifts", "shakes",
+          "rotates", "cleans", "seals", "inspects", "weighs", "fills",
+          "empties", "connects"]
+_ACTORS = ["person", "scientist", "researcher", "technician", "student",
+           "operator", "worker", "experimenter"]
 
 
 def sentences_of(captions: Sequence[str]) -> List[str]:
@@ -57,20 +66,29 @@ def synth_sentence(rng: random.Random) -> str:
     c1, c2 = rng.sample(_COLORS, 2)
     o1, o2 = rng.sample(_OBJECTS, 2)
     v = rng.choice(_VERBS)
+    a = rng.choice(_ACTORS)
+    num = f"{rng.uniform(-99, 99):.3f}"
+    unit = rng.choice(["g", "ml", "kg", "cm", "mm"])
     forms = [
-        f"The person {v} a {c1} {o1} near the {c2} {o2}.",
-        f"A {c1} {o1} sits on the bench while the person {v} the {o2}.",
-        f"The {o1} {v} a {c1} label and the person picks up the {c2} {o2}.",
+        f"The {a} {v} a {c1} {o1} near the {c2} {o2}.",
+        f"A {c1} {o1} sits on the bench while the {a} {v} the {o2}.",
+        f"The {o1} {v} a {c1} label and the {a} picks up the {c2} {o2}.",
         f"On the table, a {c1} {o1} {v} the {o2}.",
+        f"The {c1} {o1} shows a reading of {num} {unit}.",
+        f"The {a} {v} the {o1} labelled \"{o2.title()} {rng.randint(1, 99)}\".",
+        f"Behind the {c2} {o2}, the {a} carefully {v} the {c1} {o1}.",
+        f"The {a} in {c1} gloves {v} a {c2} {o1} beside the {o2}.",
     ]
     return rng.choice(forms)
 
 
 def make_chunks(captions: Sequence[str], rng: random.Random,
                 chunk_sizes: Sequence[int] = (140, 200, 296),
-                synth_fraction: float = 0.8) -> List[str]:
+                synth_fraction: float = 0.8,
+                min_total: int = 0) -> List[str]:
     """Batch texts shaped like KGBuilder's aggregation, split with the
-    real token splitter — plus synthetic-caption chunks for diversity."""
+    real token splitter — plus synthetic-caption chunks for diversity
+    (topped up to ``min_total`` so large datasets stay example-unique)."""
     from ..pipeline.text_splitter import TokenTextSplitter
 
     caps = list(captions)
@@ -85,7 +103,8 @@ def make_chunks(captions: Sequence[str], rng: random.Random,
                 f"{i:02d}:{(start * 5 + 4) % 60:02d}\nContent: {c}"
                 for i, c in enumerate(items))
             chunks.extend(splitter.split_text(text))
-    n_synth = int(len(chunks) * synth_fraction)
+    n_synth = max(int(len(chunks) * synth_fraction),
+                  min_total - len(chunks))
     for _ in range(n_synth):
         text = " ".join(synth_sentence(rng)
                         for _ in range(rng.randint(2, 5)))
@@ -229,6 +248,38 @@ def answer_examples(qc_pairs: Sequence[Tuple[str, str]],
     return out
 
 
+def synthetic_answer_pairs(sents: Sequence[str], rng: random.Random,
+                           n: int) -> List[Tuple[str, str]]:
+    """Unlimited (question, context) pairs: 3-6 chunk texts (synthetic +
+    corpus sentences, some with Time:/Content: scaffolding like stored
+    splitter chunks) in the retriever's output format, with a question
+    grounded in one of them."""
+    pairs: List[Tuple[str, str]] = []
+    for _ in range(n):
+        k = rng.randint(3, 6)
+        chunk_texts = []
+        for j in range(k):
+            parts = [synth_sentence(rng) if rng.random() < 0.7
+                     else rng.choice(list(sents))
+                     for _ in range(rng.randint(1, 3))]
+            text = " ".join(parts)
+            if rng.random() < 0.5:      # splitter-chunk scaffolding
+                m, s = rng.randrange(18), rng.randrange(0, 56, 5)
+                text = f"Time: {m:02d}:{s:02d}-{m:02d}:{s + 4:02d}\n" \
+                       f"Content: {text}"
+            chunk_texts.append(text)
+        target = rng.choice(chunk_texts)
+        qs = synth_questions(sentences_of([target]) or [target], rng, 1)
+        if not qs:
+            continue
+        times = [f"{rng.randrange(18):02d}:{rng.randrange(60):02d}-"
+                 f"{rng.randrange(18):02d}:{rng.randrange(60):02d}"
+                 for _ in chunk_texts]
+        pairs.append((qs[0], format_context(chunk_texts, qs[0],
+                                            times=times)))
+    return pairs
+
+
 def copy_examples(sents: Sequence[str], rng: random.Random,
                   n: int) -> List[Example]:
     out: List[Example] = []
@@ -243,16 +294,20 @@ def copy_examples(sents: Sequence[str], rng: random.Random,
 def build_dataset(captions: Sequence[str], rng: random.Random,
                   n_pre: int = 3000, n_instr: int = 600,
                   n_consol: int = 400, n_copy: int = 600,
+                  n_synth_answers: int = 0,
                   qc_pairs: Optional[Sequence[Tuple[str, str]]] = None,
                   ) -> List[Example]:
-    chunks = make_chunks(captions, rng)
+    chunks = make_chunks(captions, rng, min_total=n_pre)
     sents = sentences_of(captions) + [synth_sentence(rng)
-                                      for _ in range(300)]
+                                      for _ in range(1500)]
     data: List[Example] = []
     data += pre_llm_examples(chunks, rng, n_pre)
     data += instruction_examples(chunks, rng, n_instr)
     data += consolidate_examples(chunks, rng, n_consol)
     data += copy_examples(sents, rng, n_copy)
+    if n_synth_answers:
+        data += answer_examples(
+            synthetic_answer_pairs(sents, rng, n_synth_answers))
     if qc_pairs:
         data += answer_examples(qc_pairs)
     rng.shuffle(data)
