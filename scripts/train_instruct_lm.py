@@ -143,8 +143,9 @@ def tokenize_examples(data, seq_len: int):
     buckets = {short_len: ([], []), seq_len: ([], [])}
     for task, prompt, resp in data:
         rids = tokenizer.encode(resp, add_bos=False, add_eos=True)
-        if len(rids) > 400:                      # serve-time decode budget
-            rids = rids[:399] + [tokenizer.EOS_ID]
+        if len(rids) > 760:     # over the serve decode budget: DROP, never
+            continue            # truncate (a truncated target teaches the
+                                # model to emit broken JSON + EOS)
         budget = seq_len + 1 - len(rids)
         pids = tokenizer.encode(fit_prompt_bytes(prompt, budget - 8),
                                 add_bos=True, add_eos=False)
@@ -296,7 +297,7 @@ def main() -> None:
 
     # ---- teacher-match eval on held-out prompts --------------------------
     # stay inside the trained position range (the serve client does too)
-    budget = min(cfg.max_len, args.seq_len) - nv - 400 - 2
+    budget = min(cfg.max_len, args.seq_len) - nv - 768 - 2
     results = {}
     for task, prompt, target in held:
         ids = tokenizer.encode(fit_prompt_bytes(prompt, budget),
@@ -304,12 +305,12 @@ def main() -> None:
         t_pad = 64
         while t_pad < len(ids):
             t_pad *= 2
-        t_pad = min(t_pad, cfg.max_len - nv - 400)
+        t_pad = min(t_pad, cfg.max_len - nv - 768)
         arr = np.full((1, t_pad), tokenizer.PAD_ID, np.int32)
         arr[0, :len(ids)] = ids
         out = tokenizer.decode(np.asarray(generate_from_tokens(
             params, cfg, jnp.asarray(arr), jnp.int32(len(ids)),
-            max_new=400))[0])
+            max_new=768))[0])
         import collections
         a, b = out.strip(), target.strip()
         ta, tb = a.split(), b.split()

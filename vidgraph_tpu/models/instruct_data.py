@@ -256,6 +256,12 @@ def synthetic_answer_pairs(sents: Sequence[str], rng: random.Random,
     grounded in one of them."""
     pairs: List[Tuple[str, str]] = []
     for _ in range(n):
+        if rng.random() < 0.06:       # retrieval misses happen at serve
+            q = synth_questions([synth_sentence(rng)], rng, 1)
+            if q:
+                pairs.append((q[0],
+                              f"No results found for query '{q[0]}'"))
+            continue
         k = rng.randint(3, 6)
         chunk_texts = []
         for j in range(k):

@@ -192,7 +192,19 @@ class GlobalRefiner:
                                       t.get("tail"),
                                       t.get("source_chunks", [])]
                                      for t in self._deduplicate(capped)]}
-        data = parse_json_object(raw) or {}
+        data = parse_json_object(raw)
+        if data is None:
+            # Unparseable (e.g. truncated) LLM output must degrade like the
+            # legacy mode — keep the deduped pre-extracted triplets instead
+            # of silently dropping the whole batch (reference ladder:
+            # src/components/global_refiner.py:198-233).
+            logger.error("Instruction refinement output unparseable — "
+                         "falling back to deduped candidates")
+            return {**empty_ops,
+                    "new_triplets": [[t.get("head"), t.get("relation"),
+                                      t.get("tail"),
+                                      t.get("source_chunks", [])]
+                                     for t in self._deduplicate(capped)]}
         ops = {k: data.get(k, []) or [] for k in empty_ops}
         if context_is_empty:
             for k in ("inter_chunk_relations", "merge_instructions",

@@ -528,7 +528,7 @@ class TPUChatClient(ChatClient):
     """
 
     def __init__(self, cfg=None, params=None, checkpoint_path: str = "",
-                 max_new: int = 384):
+                 max_new: int = 768):
         from ..models.captioner import CaptionerConfig, init_params
         # decode budget per completion (static per jit; EOS stops early)
         self.MAX_NEW = max_new
