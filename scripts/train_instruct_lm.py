@@ -56,82 +56,9 @@ def load_captions(path: str) -> list:
 
 
 def real_retrieval_pairs(captions, rng, n_questions: int):
-    """(question, context) pairs through the REAL hybrid retriever over a
-    graph whose chunks match the SERVE-time distribution: token-splitter
-    chunks of the KG builder's ``Time:/Content:`` batch aggregation at the
-    eval chunk sizes (140/14 sweep-best + 296/16 parity), mixed with
-    whole captions (the realtime engine's chunk unit)."""
-    from vidgraph_tpu.core.config import RetrievalConfig
-    from vidgraph_tpu.graph.embedded import EmbeddedGraphStore
-    from vidgraph_tpu.pipeline.pre_injector import PreLLMInjector
-    from vidgraph_tpu.pipeline.prompts import build_pre_llm_prompt
-    from vidgraph_tpu.pipeline.retriever_hybrid import HybridRetriever
-    from vidgraph_tpu.pipeline.text_splitter import TokenTextSplitter
-    from vidgraph_tpu.services.embed_client import make_embed_client
-    from vidgraph_tpu.services.llm_client import LocalChatClient
-    from vidgraph_tpu.services.rerank_client import make_rerank_client
-
-    embed = make_embed_client("tpu", dim=512)
-    rerank = make_rerank_client("tpu", embed_client=embed)
-    store = EmbeddedGraphStore("instruct", persist_dir=None, persist=False)
-    teacher = LocalChatClient()
-
-    # serve-distribution doc units
-    docs = []
-    for size, overlap in ((140, 14), (296, 16)):
-        splitter = TokenTextSplitter(chunk_size=size, chunk_overlap=overlap)
-        for b_start in range(0, len(captions), 3):
-            items = captions[b_start:b_start + 3]
-            text = "\n".join(
-                f"Time: {((b_start + i) * 5) // 60:02d}:"
-                f"{((b_start + i) * 5) % 60:02d}-"
-                f"{((b_start + i) * 5 + 4) // 60:02d}:"
-                f"{((b_start + i) * 5 + 4) % 60:02d}\nContent: {c}"
-                for i, c in enumerate(items))
-            docs.extend(splitter.split_text(text))
-    docs.extend(captions)                     # realtime-engine chunk unit
-    docs = list(dict.fromkeys(docs))
-
-    embs = embed.embed(docs)
-    batch = [{"time": "00:00-00:04", "content": "train"}]
-    for b_start in range(0, len(docs), 6):
-        chunks, triplets = [], []
-        for i in range(b_start, min(b_start + 6, len(docs))):
-            cid = f"tr_{i // 3}_{i % 3}"
-            chunks.append({"id": cid, "content": docs[i],
-                           "index": i % 3,
-                           "embedding": [float(x) for x in embs[i]],
-                           "time": f"{(i * 5) // 60:02d}:{(i * 5) % 60:02d}-"
-                                   f"{(i * 5 + 4) // 60:02d}:"
-                                   f"{(i * 5 + 4) % 60:02d}"})
-            raw = teacher.complete_sync(
-                build_pre_llm_prompt(docs[i], 6))
-            for tr in PreLLMInjector.parse_pipe_delimited(raw, cid):
-                tr["source_chunks"] = [cid]
-                triplets.append(tr)
-        store.add_batch_to_graph(triplets, batch, b_start // 6,
-                                 text_chunks=chunks)
-
-    profiles = [
-        RetrievalConfig(top_k_chunks=3, post_compression=True,
-                        entity_first=True),
-        RetrievalConfig(top_k_chunks=5, post_compression=False,
-                        entity_first=False),
-    ]
-    sents = instruct_data.sentences_of(captions)
-    questions = instruct_data.synth_questions(sents, rng, n_questions)
-
-    async def run():
-        pairs = []
-        for prof in profiles:
-            retriever = HybridRetriever(prof, store, embed, rerank,
-                                        output_file=None)
-            for q in questions:
-                ctx, _ = await retriever.perform_hybrid_retrieval(q)
-                pairs.append((q, ctx))
-        return pairs
-
-    return asyncio.run(run())
+    """Moved to models/instruct_data.py (shared with
+    scripts/train_answer_selector.py)."""
+    return instruct_data.real_retrieval_pairs(captions, rng, n_questions)
 
 
 def tokenize_examples(data, seq_len: int):

@@ -1,0 +1,73 @@
+"""Round-4 answer-selection model (VERDICT r3 missing #1 / next #2):
+the benchmark answer role runs a trained cross-encoder that SELECTS
+context sentences; assembly is extractive."""
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from vidgraph_tpu.models.answer_selector import AnswerSelector
+from vidgraph_tpu.models.checkpoint import save_params
+from vidgraph_tpu.models.reranker import RerankerConfig, init_reranker_params
+
+CTX = """Found results for 'what color is the beaker?':
+Chunks (2):
+  1. Time: 00:10-00:15
+Content: The scientist pours liquid into a red beaker. (score: 0.83)
+  2. The balance displays a reading of 42.5 g. (score: 0.76)
+"""
+
+
+def test_selector_scores_and_answers():
+    sel = AnswerSelector(cfg=RerankerConfig.tiny())
+    s = sel.score("what color is the beaker?",
+                  ["The red beaker.", "A balance.", "The bench."])
+    assert s.shape == (3,)
+    ans = sel.answer("what color is the beaker?", CTX)
+    assert isinstance(ans, str) and ans.endswith(".")
+    # extractive: the answer is assembled from context sentences only
+    plain = ans.rstrip(".")
+    for sent in plain.split(". "):
+        assert sent in CTX, sent
+    assert sel.answer("anything", "No results found") == "I don't know."
+
+
+def test_selector_checkpoint_sidecar_restores_config(tmp_path):
+    cfg = RerankerConfig.tiny()
+    params = init_reranker_params(cfg, seed=3)
+    path = tmp_path / "sel.npz"
+    save_params(params, str(path))
+    path.with_suffix(".json").write_text(json.dumps({"selector_cfg": {
+        "width": cfg.width, "layers": cfg.layers, "heads": cfg.heads,
+        "max_len": cfg.max_len, "query_budget": cfg.query_budget}}))
+    sel = AnswerSelector(checkpoint_path=str(path))   # no cfg passed
+    assert sel.cfg.max_len == cfg.max_len
+    assert np.allclose(np.asarray(sel.params["score_w"]),
+                       np.asarray(params["score_w"]))
+
+
+def test_tpu_chat_client_routes_answer_prompts_to_selector(tmp_path):
+    from vidgraph_tpu.models.captioner import CaptionerConfig
+    from vidgraph_tpu.pipeline.prompts import build_benchmark_answer_prompt
+    from vidgraph_tpu.services.llm_client import TPUChatClient
+
+    cfg = RerankerConfig.tiny()
+    path = tmp_path / "sel.npz"
+    save_params(init_reranker_params(cfg, seed=0), str(path))
+    path.with_suffix(".json").write_text(json.dumps({"selector_cfg": {
+        "width": cfg.width, "layers": cfg.layers, "heads": cfg.heads,
+        "max_len": cfg.max_len, "query_budget": cfg.query_budget}}))
+    lm_cfg = CaptionerConfig(width=32, layers=2, heads=2, vision_dim=32,
+                             num_vision_tokens=2, max_len=640,
+                             dtype=jnp.float32)
+    client = TPUChatClient(cfg=lm_cfg, max_new=16,
+                           answer_selector_path=str(path))
+    prompt = build_benchmark_answer_prompt("what color is the beaker?", CTX)
+    out = client.complete_sync(prompt)
+    # routed through the selector: extractive sentences, never byte noise
+    assert out.endswith(".")
+    for sent in out.rstrip(".").split(". "):
+        assert sent in CTX, sent
+    # non-answer prompts still go through the LM decode path
+    out2 = client.complete_sync("Extract triplets: a person holds a flask.")
+    assert isinstance(out2, str)

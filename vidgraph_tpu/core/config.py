@@ -56,6 +56,10 @@ class LLMInjectorConfig(_Model):
     # trained byte-LM weights for backend.llm: tpu
     # (scripts/train_caption_lm.py)
     checkpoint_path: str = ""
+    # trained answer-selection cross-encoder for the benchmark answer
+    # role under backend.llm: tpu (scripts/train_answer_selector.py);
+    # "" keeps free byte generation for answer prompts
+    answer_selector_path: str = ""
     # When true, pre-extraction runs the chunk<->existing-graph similarity
     # path and refinement becomes instruction-based (4-op output).
     subgraph_extraction_injection: bool = False

@@ -127,6 +127,16 @@ class CrossEncoderReranker:
                         meta.read_text()).get("cosine_lambda", 0.0))
                 except (ValueError, OSError):
                     pass
+        if self.cosine_lambda > 0 and self._embed is None:
+            # ADVICE r3: a score-regularized residual checkpoint served
+            # without its cosine prior degrades to near-random ordering
+            from ..core.logger import get_logger
+            get_logger("reranker").warning(
+                "Checkpoint %s was trained with cosine_lambda=%.3f but no "
+                "embed_client was provided — the cosine prior term is "
+                "dropped and ranking quality will degrade; pass the same "
+                "embedder used at training time", checkpoint_path,
+                self.cosine_lambda)
         self._fwd = jax.jit(
             lambda p, t: reranker_scores(p, self.cfg, t))
 

@@ -33,7 +33,8 @@ class BenchmarkEvaluator:
         self.chat = chat_client or make_chat_client(
             config.backend.llm, endpoint=b.endpoint, model=b.model_name,
             api_key=b.api_key,
-            checkpoint_path=config.llm_injector.checkpoint_path)
+            checkpoint_path=config.llm_injector.checkpoint_path,
+            answer_selector_path=config.llm_injector.answer_selector_path)
         # benchmark_llm.judge_backend pins the judging client separately
         # from answer generation ("" = same client)
         if judge_client is not None:

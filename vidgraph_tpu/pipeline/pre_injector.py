@@ -187,8 +187,18 @@ class PreLLMInjector:
                                      ) -> List[Dict]:
         self.last_chunk_details = []
         results: List[Tuple[List[Dict], Optional[str]]] = []
-        if self.config.batch_llm_parallelism:
-            sem = asyncio.Semaphore(max(1, self.config.parallel_count))
+        parallel = self.config.batch_llm_parallelism
+        width = max(1, self.config.parallel_count)
+        if getattr(self.chat, "coalesces_batches", False):
+            # in-process batched client (TPUChatClient): co-submitted
+            # prompts share ONE ragged-batch device dispatch, so the
+            # semaphore exists only to bound memory — submit everything
+            # (the serial/parallel toggle protects external HTTP servers,
+            # which this client is not)
+            parallel = True
+            width = max(width, getattr(self.chat, "max_batch", 32))
+        if parallel:
+            sem = asyncio.Semaphore(width)
 
             async def bounded(c):
                 async with sem:

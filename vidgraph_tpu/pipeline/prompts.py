@@ -23,8 +23,8 @@ RULES (follow exactly):
 - At most {max_triplets} lines.
 
 SAMPLE LINES:
-Person | holds | Smartphone
-Lab Table | contains | Beaker
+Technician | operates | Centrifuge
+Workbench | supports | Flask
 
 TEXT TO ANALYSE:
 {input}
@@ -48,8 +48,8 @@ DO THIS:
 
 RESPOND WITH ONE JSON OBJECT, nothing else, shaped exactly like:
 {{"triplets": [
-  ["Person", "holds", "Smartphone", [0, 1]],
-  ["Smartphone", "brand", "Apple", [2]]
+  ["Technician", "operates", "Centrifuge", [0, 1]],
+  ["Centrifuge", "model", "SpinMax 300", [2]]
 ]}}
 The "triplets" list must contain at most {max_new_triplets} entries.
 

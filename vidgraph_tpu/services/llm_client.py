@@ -215,17 +215,11 @@ def _idf_weights(sentences: List[List[str]]) -> Dict[str, float]:
     return {t: math.log(1.0 + n / (1.0 + c)) for t, c in df.items()}
 
 
-def extractive_answer(question: str, context: str,
-                      max_sentences: int = 4, max_chars: int = 600,
-                      sem_fn=None) -> str:
-    """Groundtruth-blind extractive answer: IDF-weighted lexical match +
-    question-type boosts + greedy MMR sentence selection.
-
-    Replaces the round-1 single-best-sentence picker (which measured 1/30 on
-    the full reference workload because one sentence rarely covers every
-    groundtruth token).  Selecting a small complementary set of sentences
-    closes the gap to the retrieval recall bound while staying concise.
-    """
+def answer_candidates(context: str) -> List[str]:
+    """Strip retrieval scaffolding and split the context into deduped
+    candidate sentences — shared by the deterministic extractive answerer
+    and the trained answer-selection model (round 4), so both see the
+    exact same decision set."""
     # strip retrieval scaffolding (headers echo the question and would
     # otherwise win the overlap scoring)
     content_lines = [
@@ -246,8 +240,76 @@ def extractive_answer(question: str, context: str,
             continue
         seen_sent.add(key)
         cand.append(sent)
-    if not cand:
+    return cand
+
+
+def assemble_answer(cand: List[str], toks: List[List[str]],
+                    idf: Dict[str, float], scores: List[float],
+                    max_sentences: int = 4, max_chars: int = 600,
+                    abs_floor: float = 0.75) -> str:
+    """Greedy MMR selection + neighbor completion over per-sentence
+    relevance ``scores`` — the decoding half of the extractive answerer,
+    score-source-agnostic (teacher IDF scores or the trained selector's
+    model scores)."""
+    order = sorted(range(len(cand)), key=lambda i: -scores[i])
+    if scores[order[0]] <= 0.0:
         return "I don't know."
+
+    picked: List[int] = []
+    covered: set = set()
+    total_chars = 0
+    floor = max(abs_floor, 0.35 * scores[order[0]])
+    for i in order:
+        if len(picked) >= max_sentences or scores[i] < floor:
+            break
+        stoks = set(toks[i]) - _STOPWORDS
+        novel = stoks - covered
+        # MMR: require genuinely new information beyond what's selected
+        if picked and (not novel or
+                       len(novel) < 0.3 * max(1, len(stoks))):
+            continue
+        if total_chars + len(cand[i]) > max_chars and picked:
+            continue
+        picked.append(i)
+        covered |= stoks
+        total_chars += len(cand[i])
+
+    # neighbor completion: a picked sentence often names the entity only
+    # partially ("the stirrer") while the adjacent sentence carries its full
+    # name ("the magnetic stirrer"); pull in neighbors that share a rare
+    # term with the picked sentence and add new information.
+    if picked:
+        import statistics
+
+        med_idf = statistics.median(idf.values()) if idf else 0.0
+        for i in list(picked):
+            for j in (i - 1, i + 1):
+                if j < 0 or j >= len(cand) or j in picked:
+                    continue
+                if len(picked) >= max_sentences + 2 or \
+                        total_chars + len(cand[j]) > max_chars + 200:
+                    continue
+                shared = (set(toks[i]) & set(toks[j])) - _STOPWORDS
+                novel = set(toks[j]) - covered - _STOPWORDS
+                if any(idf.get(t, 0.0) > med_idf for t in shared) and novel:
+                    picked.append(j)
+                    covered |= set(toks[j])
+                    total_chars += len(cand[j])
+    if not picked:  # every candidate under the floor: take the best one
+        picked = [order[0]]
+    picked.sort()  # restore narrative order
+    return ". ".join(cand[i] for i in picked) + "."
+
+
+def teacher_answer_scores(question: str, context: str, sem_fn=None):
+    """Per-candidate relevance scores of the deterministic IDF teacher:
+    (cand, toks, idf, scores), or ``None`` when no candidate survives.
+    These are the distillation targets for the trained answer-selection
+    model (round 4, VERDICT r3 missing #1) — and the scoring half of
+    ``extractive_answer``."""
+    cand = answer_candidates(context)
+    if not cand:
+        return None
 
     toks = [[_stem(w.lower()) for w in _words(s)] for s in cand]
     idf = _idf_weights(toks)
@@ -330,55 +392,27 @@ def extractive_answer(question: str, context: str,
                                * scores[j] / top_score)
             prop[i] = best
         scores = [s + 0.45 * p for s, p in zip(scores, prop)]
-    order = sorted(range(len(cand)), key=lambda i: -scores[i])
-    if scores[order[0]] <= 0.0:
+    return cand, toks, idf, scores
+
+
+def extractive_answer(question: str, context: str,
+                      max_sentences: int = 4, max_chars: int = 600,
+                      sem_fn=None) -> str:
+    """Groundtruth-blind extractive answer: IDF-weighted lexical match +
+    question-type boosts + greedy MMR sentence selection.
+
+    Replaces the round-1 single-best-sentence picker (which measured 1/30 on
+    the full reference workload because one sentence rarely covers every
+    groundtruth token).  Selecting a small complementary set of sentences
+    closes the gap to the retrieval recall bound while staying concise.
+    """
+    scored = teacher_answer_scores(question, context, sem_fn=sem_fn)
+    if scored is None:
         return "I don't know."
-
-    picked: List[int] = []
-    covered: set = set()
-    total_chars = 0
-    floor = max(0.75, 0.35 * scores[order[0]])
-    for i in order:
-        if len(picked) >= max_sentences or scores[i] < floor:
-            break
-        stoks = set(toks[i]) - _STOPWORDS
-        novel = stoks - covered
-        # MMR: require genuinely new information beyond what's selected
-        if picked and (not novel or
-                       len(novel) < 0.3 * max(1, len(stoks))):
-            continue
-        if total_chars + len(cand[i]) > max_chars and picked:
-            continue
-        picked.append(i)
-        covered |= stoks
-        total_chars += len(cand[i])
-
-    # neighbor completion: a picked sentence often names the entity only
-    # partially ("the stirrer") while the adjacent sentence carries its full
-    # name ("the magnetic stirrer"); pull in neighbors that share a rare
-    # term with the picked sentence and add new information.
-    if picked:
-        import statistics
-
-        med_idf = statistics.median(idf.values()) if idf else 0.0
-        for i in list(picked):
-            for j in (i - 1, i + 1):
-                if j < 0 or j >= len(cand) or j in picked:
-                    continue
-                if len(picked) >= max_sentences + 2 or \
-                        total_chars + len(cand[j]) > max_chars + 200:
-                    continue
-                shared = (set(toks[i]) & set(toks[j])) - _STOPWORDS
-                novel = set(toks[j]) - covered - _STOPWORDS
-                if any(idf.get(t, 0.0) > med_idf for t in shared) and novel:
-                    picked.append(j)
-                    covered |= set(toks[j])
-                    total_chars += len(cand[j])
-    if not picked:  # every candidate under the floor: take the best one
-        picked = [order[0]]
-        covered = set(toks[order[0]])
-    picked.sort()  # restore narrative order
-    return ". ".join(cand[i] for i in picked) + "."
+    cand, toks, idf, scores = scored
+    return assemble_answer(cand, toks, idf, scores,
+                           max_sentences=max_sentences,
+                           max_chars=max_chars)
 
 
 class LocalChatClient(ChatClient):
@@ -508,14 +542,29 @@ def fit_prompt_bytes(prompt: str, budget: int) -> str:
     """Fit an over-long prompt into ``budget`` bytes keeping the head
     (task statement) and the tail (text under analysis + response-format
     instructions) — the middle is the least load-bearing part of every
-    pipeline template.  Used identically at train and serve time."""
+    pipeline template.  Used identically at train and serve time.
+
+    Byte cuts can land mid-UTF-8-sequence: each severed sequence decodes
+    to U+FFFD which RE-ENCODES to 3 bytes, so the fitted string is
+    re-checked and shrunk until its encoding is strictly under budget
+    (ADVICE r3: a head/tail cut through multibyte chars could otherwise
+    overflow the token buffer and deterministically fail the chunk)."""
     raw = prompt.encode("utf-8", errors="replace")
     if len(raw) <= budget:
         return prompt
     head = budget // 4
     tail = budget - head - 6          # stay under budget incl. the joiner
-    return (raw[:head] + b"\n...\n" + raw[-tail:]).decode(
-        "utf-8", errors="replace")
+    while True:
+        fitted = (raw[:head] + b"\n...\n" + raw[len(raw) - tail:]).decode(
+            "utf-8", errors="replace")
+        if len(fitted.encode("utf-8")) < budget:
+            return fitted
+        if tail > 8:
+            tail -= 4
+        elif head > 8:
+            head -= 4
+        else:                          # degenerate tiny budget
+            return fitted[:max(0, budget // 4)]
 
 
 class TPUChatClient(ChatClient):
@@ -525,10 +574,24 @@ class TPUChatClient(ChatClient):
     content).  Load instruction-tuned weights via ``checkpoint_path``
     (scripts/train_instruct_lm.py); with random weights the client is
     interface-complete only.
+
+    Round 4: concurrent ``complete`` calls coalesce through a
+    ``ContinuousBatcher`` into ONE ragged-batch ``generate_from_tokens``
+    dispatch (per-row prompt_len) — the ~17 per-chunk KG extraction
+    prompts that previously decoded one at a time (~41 s/batch, the only
+    path slower than the reference's 21.3 s/batch) now share a single
+    device decode.  Matches the fan-out the reference got from HTTP
+    concurrency (reference: src/components/pre_llm_injector.py:161-196).
     """
 
+    #: pre_injector widens its semaphore for clients that coalesce —
+    #: the batcher is the rate limiter, not the per-call concurrency cap
+    coalesces_batches = True
+
     def __init__(self, cfg=None, params=None, checkpoint_path: str = "",
-                 max_new: int = 768):
+                 max_new: int = 768, max_batch: int = 32,
+                 batch_wait_ms: float = 15.0,
+                 answer_selector_path: str = ""):
         from ..models.captioner import CaptionerConfig, init_params
         # decode budget per completion (static per jit; EOS stops early)
         self.MAX_NEW = max_new
@@ -565,11 +628,51 @@ class TPUChatClient(ChatClient):
                         trained_seq)
         self.max_prompt_bytes = (ctx_limit - self.cfg.num_vision_tokens
                                  - self.MAX_NEW - 2)
+        self.max_batch = max_batch
+        self.batch_wait_ms = batch_wait_ms
+        self._batcher = None
+        self._batcher_loop = None
+        self._decode_lock = None        # created lazily (thread-safe use)
+        # round 4: the benchmark-answer role runs a trained SELECTION
+        # model (cross-encoder scores candidate sentences, extractive
+        # assembly decodes) instead of free byte generation — the one
+        # role where generation could not match the deterministic
+        # answerer (VERDICT r3 missing #1)
+        self._selector = None
+        if answer_selector_path:
+            from ..models.answer_selector import AnswerSelector
+            self._selector = AnswerSelector(
+                checkpoint_path=answer_selector_path)
 
     def _fit_prompt(self, prompt: str) -> str:
         return fit_prompt_bytes(prompt, self.max_prompt_bytes)
 
-    def complete_sync(self, prompt: str, max_tokens: int = 2048) -> str:
+    def _try_selector(self, prompt: str) -> Optional[str]:
+        """Route answer-contract prompts to the trained selection model
+        when one is loaded (markers match LocalChatClient's parsing)."""
+        if self._selector is None or "CONCISE ANSWER:" not in prompt:
+            return None
+        question = _section(prompt, "QUESTION:", ["VIDEO CONTEXT:"])
+        context = _section(prompt, "VIDEO CONTEXT:", ["CONCISE ANSWER:"])
+        return self._selector.answer(question, context)
+
+    def _decode_budget(self, max_tokens: int) -> int:
+        """Clamp the decode scan to a power-of-two bucket of the caller's
+        ``max_tokens`` (ADVICE r3: the benchmark judge asks for 128 — no
+        reason to pay the full 768-step scan for a 25-byte JSON)."""
+        budget = 64
+        while budget < max_tokens:
+            budget *= 2
+        return min(self.MAX_NEW, budget)
+
+    def complete_batch_sync(self, prompts: List[str],
+                            max_tokens: int = 2048) -> List[str]:
+        """Decode a ragged batch of prompts in ONE device dispatch:
+        shared power-of-two T_pad bucket, per-row prompt_len, batch dim
+        padded to a power of two (filler rows replicate BOS-only context
+        and are discarded)."""
+        import threading
+
         import jax.numpy as jnp
         import numpy as np
 
@@ -577,35 +680,80 @@ class TPUChatClient(ChatClient):
         from ..models.captioner import generate_from_tokens
         from ..parallel.serving import maybe_mesh
 
-        ids = tokenizer.encode(self._fit_prompt(prompt),
-                               add_bos=True, add_eos=False)
+        if not prompts:
+            return []
+        max_new = self._decode_budget(max_tokens)
+        cap = self.cfg.max_len - self.cfg.num_vision_tokens - max_new
+        ids_list = []
+        for p in prompts:
+            ids = tokenizer.encode(self._fit_prompt(p),
+                                   add_bos=True, add_eos=False)
+            # belt-and-braces: the fitter keeps us under budget, but a
+            # ragged fill must never overflow the padded buffer
+            ids_list.append(ids[:min(cap, self.max_prompt_bytes + 1)])
+        longest = max(len(ids) for ids in ids_list)
         # power-of-two length buckets bound the number of prefill compiles
         t_pad = 64
-        while t_pad < len(ids):
+        while t_pad < longest:
             t_pad *= 2
-        t_pad = min(t_pad, self.cfg.max_len - self.cfg.num_vision_tokens
-                    - self.MAX_NEW)
-        toks = np.full((1, t_pad), tokenizer.PAD_ID, np.int32)
-        toks[0, :len(ids)] = ids
-        with maybe_mesh(self._mesh):
-            out = generate_from_tokens(
-                self.params, self.cfg, jnp.asarray(toks),
-                jnp.int32(len(ids)), max_new=self.MAX_NEW)
-        return tokenizer.decode(np.asarray(out)[0])
+        t_pad = min(t_pad, cap)
+        b = len(prompts)
+        b_pad = 1
+        while b_pad < b:
+            b_pad *= 2
+        toks = np.full((b_pad, t_pad), tokenizer.PAD_ID, np.int32)
+        lens = np.ones((b_pad,), np.int32)
+        toks[:, 0] = tokenizer.BOS_ID      # filler rows: BOS-only context
+        for r, ids in enumerate(ids_list):
+            toks[r, :len(ids)] = ids
+            lens[r] = len(ids)
+        if self._decode_lock is None:
+            self._decode_lock = threading.Lock()
+        with self._decode_lock:            # the chip serves one decode at a time
+            with maybe_mesh(self._mesh):
+                out = generate_from_tokens(
+                    self.params, self.cfg, jnp.asarray(toks),
+                    jnp.asarray(lens), max_new=max_new)
+            out = np.asarray(out)
+        return [tokenizer.decode(out[r]) for r in range(b)]
+
+    def complete_sync(self, prompt: str, max_tokens: int = 2048) -> str:
+        routed = self._try_selector(prompt)
+        if routed is not None:
+            return routed
+        return self.complete_batch_sync([prompt], max_tokens)[0]
+
+    async def _run_batch(self, items: List[Any]) -> List[str]:
+        prompts = [p for p, _mt in items]
+        max_tokens = max(mt for _p, mt in items)
+        return await asyncio.to_thread(self.complete_batch_sync, prompts,
+                                       max_tokens)
 
     async def complete(self, prompt, system=None, temperature=0.0,
                        max_tokens=2048) -> str:
-        return await asyncio.to_thread(self.complete_sync, prompt,
-                                       max_tokens)
+        if self._selector is not None and "CONCISE ANSWER:" in prompt:
+            return await asyncio.to_thread(self._try_selector, prompt)
+        from ..streams.scheduler import ContinuousBatcher
+
+        loop = asyncio.get_running_loop()
+        if self._batcher is None or self._batcher_loop is not loop:
+            # (re)bind the batcher to the current event loop — pipeline
+            # stages each run under their own asyncio.run()
+            self._batcher = ContinuousBatcher(
+                self._run_batch, max_batch=self.max_batch,
+                max_wait_ms=self.batch_wait_ms)
+            self._batcher_loop = loop
+        return await self._batcher.submit((prompt, max_tokens))
 
 
 def make_chat_client(kind: str, endpoint: str = "", model: str = "",
                      api_key: str = "", checkpoint_path: str = "",
-                     **kw) -> ChatClient:
+                     answer_selector_path: str = "", **kw) -> ChatClient:
     if kind == "http":
         return HttpChatClient(endpoint, model, api_key, **kw)
     if kind == "local":
         return LocalChatClient()
     if kind == "tpu":
-        return TPUChatClient(checkpoint_path=checkpoint_path)
+        return TPUChatClient(checkpoint_path=checkpoint_path,
+                             answer_selector_path=answer_selector_path)
     raise ValueError(f"unknown llm backend: {kind}")

@@ -338,6 +338,16 @@ async def simulate(engine: RealtimeEngine,
                               max(t_video + step, elapsed))
         else:
             t_video += step
+    # Final push pass (ADVICE r3): an overloaded last iteration can jump
+    # t_video to video_seconds with camera frames still due in the skipped
+    # window — push them so frames_in (the coverage denominator) counts
+    # every frame the camera produced during the run.
+    for sid, spec in engine.specs.items():
+        while next_frame_at[sid] < video_seconds:
+            frame = next(sources[sid], None)
+            if frame is not None:
+                engine.push_frame(sid, frame)
+            next_frame_at[sid] += 1.0 / spec.fps
     await engine.process_ready()
     await engine.drain_background()
     wall = time.perf_counter() - t_wall
