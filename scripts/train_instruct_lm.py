@@ -61,7 +61,7 @@ def real_retrieval_pairs(captions, rng, n_questions: int):
     return instruct_data.real_retrieval_pairs(captions, rng, n_questions)
 
 
-def tokenize_examples(data, seq_len: int):
+def tokenize_examples(data, seq_len: int, max_new: int = 768):
     """-> list of (tokens [N, L+1], prompt_lens [N]) buckets.  Short
     examples train at half sequence length (separate jit shape), roughly
     halving the average step cost; loss is masked to the response span
@@ -70,9 +70,9 @@ def tokenize_examples(data, seq_len: int):
     buckets = {short_len: ([], []), seq_len: ([], [])}
     for task, prompt, resp in data:
         rids = tokenizer.encode(resp, add_bos=False, add_eos=True)
-        if len(rids) > 760:     # over the serve decode budget: DROP, never
-            continue            # truncate (a truncated target teaches the
-                                # model to emit broken JSON + EOS)
+        if len(rids) > max_new - 8:  # over the serve decode budget: DROP,
+            continue                 # never truncate (a truncated target
+                                     # teaches broken JSON + EOS)
         budget = seq_len + 1 - len(rids)
         pids = tokenizer.encode(fit_prompt_bytes(prompt, budget - 8),
                                 add_bos=True, add_eos=False)
@@ -94,6 +94,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=3072)
+    ap.add_argument("--max-new", type=int, default=1024,
+                    help="serve decode budget; trained responses must fit "
+                         "(15-new-triplet op JSONs need ~1KB — round 4)")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-questions", type=int, default=1500)
@@ -132,7 +135,7 @@ def main() -> None:
     print(f"dataset: {len(data)} train / {len(held)} held-out "
           f"{dict(Counter(t for t, _, _ in data))}")
 
-    buckets = tokenize_examples(data, args.seq_len)
+    buckets = tokenize_examples(data, args.seq_len, args.max_new)
     print("tokenized buckets:", [b[0].shape for b in buckets])
 
     cfg = (CaptionerConfig(width=64, layers=2, heads=2, vision_dim=64,
@@ -171,7 +174,7 @@ def main() -> None:
     # held-out LOSS batches (generalization signal + early-stop pick; the
     # round-3 first run hit train loss 0.00 while novel-prompt output was
     # garbage — pure memorization)
-    held_buckets = tokenize_examples(held, args.seq_len)
+    held_buckets = tokenize_examples(held, args.seq_len, args.max_new)
     eval_loss_fn = jax.jit(loss_fn)
 
     def held_loss() -> float:
@@ -216,6 +219,7 @@ def main() -> None:
         params = best["params"]
     save_params(params, args.out)
     meta = {"config": "chat", "steps": args.steps, "seq_len": args.seq_len,
+            "max_new": args.max_new,   # serve client pins MAX_NEW to this
             "train_examples": int(sum(b[0].shape[0] for b in buckets)),
             "final_loss": float(loss), "held_loss": best["loss"],
             "held_best_step": best["step"]}
@@ -224,7 +228,7 @@ def main() -> None:
 
     # ---- teacher-match eval on held-out prompts --------------------------
     # stay inside the trained position range (the serve client does too)
-    budget = min(cfg.max_len, args.seq_len) - nv - 768 - 2
+    budget = min(cfg.max_len, args.seq_len) - nv - args.max_new - 2
     results = {}
     for task, prompt, target in held:
         ids = tokenizer.encode(fit_prompt_bytes(prompt, budget),
@@ -232,12 +236,12 @@ def main() -> None:
         t_pad = 64
         while t_pad < len(ids):
             t_pad *= 2
-        t_pad = min(t_pad, cfg.max_len - nv - 768)
+        t_pad = min(t_pad, cfg.max_len - nv - args.max_new)
         arr = np.full((1, t_pad), tokenizer.PAD_ID, np.int32)
         arr[0, :len(ids)] = ids
         out = tokenizer.decode(np.asarray(generate_from_tokens(
             params, cfg, jnp.asarray(arr), jnp.int32(len(ids)),
-            max_new=768))[0])
+            max_new=args.max_new))[0])
         import collections
         a, b = out.strip(), target.strip()
         ta, tb = a.split(), b.split()

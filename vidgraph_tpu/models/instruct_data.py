@@ -122,16 +122,22 @@ def pre_llm_examples(chunks: Sequence[str], rng: random.Random,
     t = _teacher()
     out: List[Example] = []
     for chunk in list(chunks)[:n]:
-        max_trip = rng.choice((5, 6, 8))
+        # 4 is the serve-time cap in the sweep-best / tpu_llm configs —
+        # train it (round 4: train==serve on the triplet-count axis)
+        max_trip = rng.choice((4, 4, 5, 6, 8))
         prompt = build_pre_llm_prompt(chunk, max_trip)
         out.append(("pre_llm", prompt, t.complete_sync(prompt)))
     return out
 
 
 def _candidates_from(chunks: Sequence[str], rng: random.Random,
-                     n_items: int) -> List[Dict]:
+                     n_items: int, cap: int = 25) -> List[Dict]:
     """Teacher-extracted triplet dicts with short source-chunk ids, the
-    shape the refiner feeds into its prompts."""
+    shape the refiner feeds into its prompts.  ``cap`` mirrors the
+    refiner's ``global_triplet_limit`` input cap so the trained candidate
+    COUNT distribution matches serve time (VERDICT r3 next #3: the serve
+    refiner sees up to ~25 candidates from ~17 chunks/batch; round-3
+    training topped out at ~4 chunks' worth)."""
     from ..pipeline.pre_injector import PreLLMInjector
 
     t = _teacher()
@@ -144,7 +150,9 @@ def _candidates_from(chunks: Sequence[str], rng: random.Random,
                                                       f"run_{batch}_{i}"):
             tr["source_chunks"] = [f"{batch}_{i}"]
             cands.append(tr)
-    return cands
+        if len(cands) >= cap:
+            break
+    return cands[:cap]
 
 
 def _subgraph_context(rng: random.Random) -> str:
@@ -161,16 +169,23 @@ def _subgraph_context(rng: random.Random) -> str:
 
 def instruction_examples(chunks: Sequence[str], rng: random.Random,
                          n: int) -> List[Example]:
+    """4-op refinement examples.  Candidate pools span the serve range
+    (2-8 chunks' worth, capped at the refiner input limit) and op caps
+    are dominated by the serve configuration (15 new triplets,
+    config/tpu_llm_config.yaml) with the round-3 caps mixed in for
+    robustness."""
     t = _teacher()
     out: List[Example] = []
     for _ in range(n):
-        cands = _candidates_from(chunks, rng, rng.randint(2, 4))
+        cands = _candidates_from(chunks, rng, rng.randint(2, 8))
         if not cands:
             continue
         empty = rng.random() < 0.4
         ctx = ("" if empty else _subgraph_context(rng))
+        max_new = 15 if rng.random() < 0.7 else 10
         prompt = build_instruction_prompt(
-            json.dumps(cands), ctx, 10, 5, 4, 4, context_is_empty=empty)
+            json.dumps(cands), ctx, max_new, 5, 4, 4,
+            context_is_empty=empty)
         out.append(("instruction", prompt, t.complete_sync(prompt)))
     return out
 

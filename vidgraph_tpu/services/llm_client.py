@@ -603,15 +603,19 @@ class TPUChatClient(ChatClient):
             self.params = load_params(self.params, checkpoint_path)
             logger.info("Loaded TPU chat LM weights from %s",
                         checkpoint_path)
-            # training metadata caps the usable context: positions beyond
-            # the trained sequence length carry untrained pos embeddings
+            # training metadata caps the usable context (positions beyond
+            # the trained sequence length carry untrained pos embeddings)
+            # and pins the decode budget to the trained response-length
+            # distribution (train == serve on every axis)
             import json as _json
             from pathlib import Path as _Path
             meta_path = _Path(checkpoint_path).with_suffix(".json")
             if meta_path.exists():
                 try:
-                    trained_seq = int(_json.loads(
-                        meta_path.read_text()).get("seq_len", 0)) or None
+                    meta = _json.loads(meta_path.read_text())
+                    trained_seq = int(meta.get("seq_len", 0)) or None
+                    if meta.get("max_new"):
+                        self.MAX_NEW = int(meta["max_new"])
                 except (ValueError, OSError):
                     trained_seq = None
         # tensor-parallel serving over the process-wide mesh when active

@@ -54,7 +54,8 @@ class TPUVLMClient(VLMClient):
                  checkpoint: Optional[str] = None,
                  preset: Optional[str] = None,
                  preprocess: str = "auto",
-                 fast_resize: bool = True) -> None:
+                 fast_resize: bool = True,
+                 param_dtype=None) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -68,7 +69,11 @@ class TPUVLMClient(VLMClient):
         self.vit_cfg = vit_cfg or ViTConfig.b32()
         self.cap_cfg = cap_cfg or CaptionerConfig.base()
         self.vit, self.vit_params = init_vision_tower(self.vit_cfg, seed)
-        self.cap_params = init_params(self.cap_cfg, seed)
+        # param_dtype=bf16 halves captioner HBM + per-step weight reads —
+        # required to serve CaptionerConfig.large() (1.2B) in-process
+        self.cap_params = init_params(
+            self.cap_cfg, seed,
+            param_dtype=param_dtype or jnp.float32)
         if checkpoint:
             from ..models.checkpoint import load_params
 
