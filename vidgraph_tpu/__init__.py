@@ -41,4 +41,23 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _maybe_force_cpu() -> None:
+    """``VIDGRAPH_FORCE_CPU=1`` pins jax to the host CPU for ANY entry
+    point (CLI, scripts, ad-hoc shells).  Needed because the environment
+    presets ``JAX_PLATFORMS=axon`` at the PJRT-plugin level, which
+    overrides the env var — only a config update after import wins.  Use
+    while the exclusive TPU is occupied (e.g. by a training run)."""
+    import os
+
+    if not os.environ.get("VIDGRAPH_FORCE_CPU"):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 _enable_compilation_cache()
+_maybe_force_cpu()

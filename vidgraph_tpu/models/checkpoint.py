@@ -12,7 +12,12 @@ from pathlib import Path
 from typing import Any, Dict
 
 import jax
+import ml_dtypes
 import numpy as np
+
+# npz can't store bfloat16 natively — bf16 leaves are saved as uint16 bit
+# patterns under a prefixed key and viewed back on load (round-trip exact).
+_BF16_PREFIX = "__bf16__/"
 
 
 def _flatten(params: Any) -> Dict[str, np.ndarray]:
@@ -20,7 +25,11 @@ def _flatten(params: Any) -> Dict[str, np.ndarray]:
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(
             str(p.key) if hasattr(p, "key") else str(p.idx) for p in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == ml_dtypes.bfloat16:
+            flat[_BF16_PREFIX + key] = arr.view(np.uint16)
+        else:
+            flat[key] = arr
     return flat
 
 
@@ -34,7 +43,13 @@ def save_params(params: Any, path: str) -> str:
 def load_params(template: Any, path: str) -> Any:
     """Load into the structure of ``template`` (shapes must match)."""
     with np.load(path) as data:
-        flat = {k: data[k] for k in data.files}
+        flat = {}
+        for k in data.files:
+            if k.startswith(_BF16_PREFIX):
+                flat[k[len(_BF16_PREFIX):]] = (
+                    data[k].view(ml_dtypes.bfloat16))
+            else:
+                flat[k] = data[k]
 
     leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
@@ -44,10 +59,16 @@ def load_params(template: Any, path: str) -> Any:
         if key not in flat:
             raise KeyError(f"checkpoint missing parameter: {key}")
         arr = flat[key]
-        if arr.shape != np.asarray(leaf).shape:
+        # read shape/dtype as ATTRIBUTES — np.asarray(leaf) on a
+        # device-resident template would fetch every weight to host
+        # (~4 min for a 100 MB model through the tunnelled chip)
+        lshape = (tuple(leaf.shape) if hasattr(leaf, "shape")
+                  else np.asarray(leaf).shape)
+        ldtype = (leaf.dtype if hasattr(leaf, "dtype")
+                  else np.asarray(leaf).dtype)
+        if arr.shape != lshape:
             raise ValueError(f"shape mismatch for {key}: checkpoint "
-                             f"{arr.shape} vs template "
-                             f"{np.asarray(leaf).shape}")
-        new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+                             f"{arr.shape} vs template {lshape}")
+        new_leaves.append(arr.astype(ldtype))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), new_leaves)
