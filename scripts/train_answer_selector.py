@@ -57,27 +57,37 @@ def load_captions(path: str) -> list:
     raise ValueError("corpus must be a vlm_output.json")
 
 
-def truncated_candidates(q: str, ctx: str, k_cand: int):
-    """Teacher-scored candidates, contexts over ``k_cand`` keep the top
-    teacher-scored ones (original order).  -> (cand, scores) or None."""
+def truncated_candidates(q: str, ctx: str, k_cand: int,
+                         rng: random.Random = None):
+    """Teacher-scored candidates -> (cand, scores) or None.  Contexts
+    over ``k_cand`` keep the top-(k/2) teacher-scored PLUS a random
+    sample of the rest (original order).  Keeping only the top-k (round-4
+    first attempt) biased training toward already-plausible sentences —
+    the served model then scored never-seen junk sentences at random and
+    e2e accuracy collapsed to 1/30.  The model must see the junk it is
+    expected to suppress."""
     scored = teacher_answer_scores(q, ctx)
     if scored is None:
         return None
     cand, _toks, _idf, scores = scored
     if len(cand) > k_cand:
-        keep = sorted(sorted(range(len(cand)),
-                             key=lambda i: -scores[i])[:k_cand])
+        order = sorted(range(len(cand)), key=lambda i: -scores[i])
+        top = order[:k_cand // 2]
+        rest = order[k_cand // 2:]
+        r = rng or random
+        keep = sorted(top + r.sample(rest, k_cand - len(top)))
         cand = [cand[i] for i in keep]
         scores = [scores[i] for i in keep]
     return (cand, scores) if cand else None
 
 
-def build_examples(pairs, cfg: RerankerConfig, k_cand: int):
+def build_examples(pairs, cfg: RerankerConfig, k_cand: int,
+                   rng: random.Random = None):
     """(q, ctx) -> (toks [K,T] uint16, target [K] f32, valid [K] bool,
     q, ctx, teacher_answer)."""
     examples = []
     for q, ctx in pairs:
-        t = truncated_candidates(q, ctx, k_cand)
+        t = truncated_candidates(q, ctx, k_cand, rng)
         if t is None:
             continue
         cand, scores = t
@@ -105,9 +115,9 @@ def token_f1(a: str, b: str) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True)
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--steps", type=int, default=12000)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--k-cand", type=int, default=32)
+    ap.add_argument("--k-cand", type=int, default=64)
     ap.add_argument("--max-len", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--temp", type=float, default=1.0,
@@ -117,6 +127,12 @@ def main() -> None:
     ap.add_argument("--n-questions", type=int, default=1200)
     ap.add_argument("--eval-count", type=int, default=150)
     ap.add_argument("--out", default="checkpoints/answer_selector.npz")
+    ap.add_argument("--data-cache", default="",
+                    help="npz path: build examples once (CPU-friendly) "
+                         "and train from the cache (chip-friendly) — "
+                         "pass the same path to both invocations")
+    ap.add_argument("--build-only", action="store_true",
+                    help="with --data-cache: build + save, skip training")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     rng = random.Random(args.seed)
@@ -129,15 +145,28 @@ def main() -> None:
         args.n_synth, args.n_questions = 12, 4
         args.steps, args.eval_count, args.k_cand = 8, 4, 8
 
-    t0 = time.time()
-    sents = instruct_data.sentences_of(captions) + [
-        instruct_data.synth_sentence(rng) for _ in range(1500)]
-    pairs = instruct_data.synthetic_answer_pairs(sents, rng, args.n_synth)
-    pairs += instruct_data.real_retrieval_pairs(captions, rng,
-                                                args.n_questions)
-    rng.shuffle(pairs)
-    print(f"pairs: {len(pairs)} in {time.time() - t0:.1f}s")
-    examples = build_examples(pairs, cfg, args.k_cand)
+    if args.data_cache and os.path.exists(args.data_cache):
+        z = np.load(args.data_cache, allow_pickle=True)
+        examples = [tuple(e) for e in z["examples"]]
+        print(f"loaded {len(examples)} examples from {args.data_cache}")
+    else:
+        t0 = time.time()
+        sents = instruct_data.sentences_of(captions) + [
+            instruct_data.synth_sentence(rng) for _ in range(1500)]
+        pairs = instruct_data.synthetic_answer_pairs(sents, rng,
+                                                     args.n_synth)
+        pairs += instruct_data.real_retrieval_pairs(captions, rng,
+                                                    args.n_questions)
+        rng.shuffle(pairs)
+        print(f"pairs: {len(pairs)} in {time.time() - t0:.1f}s")
+        examples = build_examples(pairs, cfg, args.k_cand, rng)
+        if args.data_cache:
+            np.savez_compressed(
+                args.data_cache,
+                examples=np.asarray(examples, dtype=object))
+            print(f"cached {len(examples)} examples -> {args.data_cache}")
+            if args.build_only:
+                return
     held = examples[:args.eval_count]
     train = examples[args.eval_count:]
     print(f"examples: {len(train)} train / {len(held)} held "
@@ -164,7 +193,16 @@ def main() -> None:
         logits = reranker_scores(p, cfg, toks.astype(jnp.int32)
                                  .reshape(b * k, t)).reshape(b, k)
         logits = jnp.where(valid, logits, -1e30)
-        target = jax.nn.softmax(jnp.where(valid, tgt / temp, -1e30), axis=-1)
+        # standardize the teacher scores per list: raw IDF-overlap scores
+        # have list-dependent scale, so a fixed temperature would make
+        # some targets near-one-hot and others near-uniform
+        nv = jnp.maximum(valid.sum(-1, keepdims=True), 1)
+        vt = jnp.where(valid, tgt, 0.0)
+        mean = vt.sum(-1, keepdims=True) / nv
+        var = (jnp.where(valid, (vt - mean) ** 2, 0.0).sum(-1, keepdims=True)
+               / nv)
+        z = (tgt - mean) * jax.lax.rsqrt(var + 1e-6)
+        target = jax.nn.softmax(jnp.where(valid, z / temp, -1e30), axis=-1)
         logp = jax.nn.log_softmax(logits, axis=-1)
         return -(target * jnp.where(valid, logp, 0.0)).sum(-1).mean()
 
@@ -176,7 +214,23 @@ def main() -> None:
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
+    # held-out LOSS batches for early stopping (generalization signal)
+    htoks = jnp.asarray(np.stack([e[0] for e in held]))
+    htgt = jnp.asarray(np.stack([e[1] for e in held]))
+    hval = jnp.asarray(np.stack([e[2] for e in held]))
+    eval_loss = jax.jit(loss_fn)
+
+    def held_loss() -> float:
+        tot = 0.0
+        m = 16
+        for i in range(0, htoks.shape[0], m):
+            bsz = min(m, htoks.shape[0] - i)
+            tot += float(eval_loss(params, htoks[i:i + m], htgt[i:i + m],
+                                   hval[i:i + m])) * bsz
+        return tot / max(1, htoks.shape[0])
+
     nrng = np.random.default_rng(args.seed)
+    best = {"loss": float("inf"), "step": -1, "params": None}
     t0 = time.time()
     for step in range(args.steps):
         idx = jnp.asarray(nrng.integers(0, len(train), size=args.batch))
@@ -185,7 +239,18 @@ def main() -> None:
             dt = time.time() - t0
             rate = f"  ({step / dt:.1f} it/s)" if step else ""
             print(f"step {step:5d}  loss {float(loss):.4f}{rate}")
+        if (step % 1000 == 0 and step) or step == args.steps - 1:
+            hl = held_loss()
+            print(f"step {step:5d}  HELD loss {hl:.4f}")
+            if hl < best["loss"]:
+                best = {"loss": hl, "step": step,
+                        "params": jax.tree_util.tree_map(
+                            lambda x: np.asarray(x), params)}
 
+    if best["params"] is not None and best["step"] < args.steps - 1:
+        print(f"early-stop pick: step {best['step']} "
+              f"(held {best['loss']:.4f})")
+        params = best["params"]
     save_params(params, args.out)
     meta = {"selector_cfg": {
         "width": cfg.width, "layers": cfg.layers, "heads": cfg.heads,
@@ -199,7 +264,7 @@ def main() -> None:
     top1 = em = 0
     f1 = 0.0
     for _toks_e, _tgt_e, _valid_e, q, ctx, teacher_ans in held:
-        t = truncated_candidates(q, ctx, args.k_cand)
+        t = truncated_candidates(q, ctx, args.k_cand, rng)
         if t is None:
             continue
         cand, tscores = t

