@@ -46,6 +46,27 @@ def test_selector_checkpoint_sidecar_restores_config(tmp_path):
                        np.asarray(params["score_w"]))
 
 
+def test_chat_checkpoint_sidecar_pins_decode_budget(tmp_path):
+    """The trained response-length distribution travels with the
+    checkpoint: a ``max_new`` field in the sidecar overrides the client's
+    decode budget (train == serve on the decode axis, round 4)."""
+    from vidgraph_tpu.models.captioner import CaptionerConfig, init_params
+    from vidgraph_tpu.services.llm_client import TPUChatClient
+
+    lm_cfg = CaptionerConfig(width=32, layers=2, heads=2, vision_dim=32,
+                             num_vision_tokens=2, max_len=640,
+                             dtype=jnp.float32)
+    path = tmp_path / "lm.npz"
+    save_params(init_params(lm_cfg, seed=0), str(path))
+    path.with_suffix(".json").write_text(
+        json.dumps({"seq_len": 512, "max_new": 96}))
+    client = TPUChatClient(cfg=lm_cfg, max_new=768,
+                           checkpoint_path=str(path))
+    assert client.MAX_NEW == 96
+    # prompt budget reflects both the trained seq cap and the decode pin
+    assert client.max_prompt_bytes == 512 - lm_cfg.num_vision_tokens - 96 - 2
+
+
 def test_tpu_chat_client_routes_answer_prompts_to_selector(tmp_path):
     from vidgraph_tpu.models.captioner import CaptionerConfig
     from vidgraph_tpu.pipeline.prompts import build_benchmark_answer_prompt
