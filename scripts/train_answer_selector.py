@@ -207,10 +207,12 @@ def main() -> None:
         return -(target * jnp.where(valid, logp, 0.0)).sum(-1).mean()
 
     @jax.jit
-    def train_step(p, o, idx):
-        toks = toks_all[idx]
+    def train_step(p, o, ds_toks, ds_tgt, ds_val, idx):
+        # the dataset rides as jit ARGUMENTS: closure-capturing a ~300 MB
+        # device array embeds it in the serialized program, which the
+        # remote-compile relay rejects (HTTP 413)
         loss, grads = jax.value_and_grad(loss_fn)(
-            p, toks, tgt_all[idx], val_all[idx])
+            p, ds_toks[idx], ds_tgt[idx], ds_val[idx])
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
@@ -234,7 +236,8 @@ def main() -> None:
     t0 = time.time()
     for step in range(args.steps):
         idx = jnp.asarray(nrng.integers(0, len(train), size=args.batch))
-        params, opt_state, loss = train_step(params, opt_state, idx)
+        params, opt_state, loss = train_step(params, opt_state, toks_all,
+                                             tgt_all, val_all, idx)
         if step % 200 == 0 or step == args.steps - 1:
             dt = time.time() - t0
             rate = f"  ({step / dt:.1f} it/s)" if step else ""

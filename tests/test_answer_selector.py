@@ -32,6 +32,22 @@ def test_selector_scores_and_answers():
     assert sel.answer("anything", "No results found") == "I don't know."
 
 
+def test_selector_blend_mode_keeps_lexical_backbone():
+    """``mode="blend"`` (the serving default) routes model scores through
+    the teacher's semantic channel: with ANY selector weights (here:
+    random), exact lexical matches still dominate — the color-bearing
+    sentence wins over the numeric one for a color question."""
+    sel = AnswerSelector(cfg=RerankerConfig.tiny(), mode="blend")
+    ans = sel.answer("what color is the beaker?", CTX)
+    assert "red beaker" in ans
+    # pure mode with random weights has no such guarantee; it must still
+    # stay extractive
+    pure = AnswerSelector(cfg=RerankerConfig.tiny(), mode="pure")
+    for sent in pure.answer("what color is the beaker?", CTX).rstrip(".")\
+            .split(". "):
+        assert sent in CTX, sent
+
+
 def test_selector_checkpoint_sidecar_restores_config(tmp_path):
     cfg = RerankerConfig.tiny()
     params = init_reranker_params(cfg, seed=3)

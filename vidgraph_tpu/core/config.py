@@ -60,6 +60,9 @@ class LLMInjectorConfig(_Model):
     # role under backend.llm: tpu (scripts/train_answer_selector.py);
     # "" keeps free byte generation for answer prompts
     answer_selector_path: str = ""
+    # "blend": selector scores ride as the semantic channel over the
+    # lexical prior; "pure": model scores drive selection alone
+    answer_selector_mode: str = "blend"
     # When true, pre-extraction runs the chunk<->existing-graph similarity
     # path and refinement becomes instruction-based (4-op output).
     subgraph_extraction_injection: bool = False

@@ -40,7 +40,16 @@ class AnswerSelector:
     padding bounds compiles)."""
 
     def __init__(self, cfg: Optional[RerankerConfig] = None, seed: int = 0,
-                 checkpoint_path: str = "") -> None:
+                 checkpoint_path: str = "", mode: str = "blend") -> None:
+        #: "blend" (default): model scores ride as the semantic channel on
+        #: top of the deterministic lexical prior (the same z-scored slot
+        #: the trained text encoder uses) — strictly a re-ranker of
+        #: near-ties, so it can only perturb, never overrule, exact term
+        #: matches.  "pure": the model's scores drive selection alone.
+        #: Round-4 measurement: pure selection picks generic summary
+        #: sentences over content-bearing ones on 2/30 parity questions
+        #: (docs/EVAL.md); blending recovers them.
+        self.mode = mode
         self.cfg = cfg or RerankerConfig()
         if checkpoint_path:
             # the sidecar records the trained architecture — restore it
@@ -79,11 +88,28 @@ class AnswerSelector:
 
     def answer(self, question: str, context: str,
                max_sentences: int = 4, max_chars: int = 600) -> str:
-        """Model-scored extractive answer: the model decides relevance,
-        the teacher's MMR/neighbor assembly decodes the sentence set."""
+        """Model-scored extractive answer (``self.mode``):
+
+        * ``blend`` — the model is the semantic channel of the teacher's
+          scorer (``teacher_answer_scores(sem_fn=...)``): lexical prior
+          decides, model z-scores break near-ties.
+        * ``pure`` — the model's scores drive selection alone; the
+          teacher's MMR/neighbor assembly decodes the sentence set.
+        """
         from ..services.llm_client import (_idf_weights, _stem, _words,
                                            answer_candidates,
-                                           assemble_answer)
+                                           assemble_answer,
+                                           teacher_answer_scores)
+
+        if self.mode == "blend":
+            scored = teacher_answer_scores(
+                question, context, sem_fn=lambda q, c: self.score(q, c))
+            if scored is None:
+                return "I don't know."
+            cand, toks, idf, scores = scored
+            return assemble_answer(cand, toks, idf, scores,
+                                   max_sentences=max_sentences,
+                                   max_chars=max_chars)
 
         cand = answer_candidates(context)
         if not cand:

@@ -34,7 +34,8 @@ class BenchmarkEvaluator:
             config.backend.llm, endpoint=b.endpoint, model=b.model_name,
             api_key=b.api_key,
             checkpoint_path=config.llm_injector.checkpoint_path,
-            answer_selector_path=config.llm_injector.answer_selector_path)
+            answer_selector_path=config.llm_injector.answer_selector_path,
+            answer_selector_mode=config.llm_injector.answer_selector_mode)
         # benchmark_llm.judge_backend pins the judging client separately
         # from answer generation ("" = same client)
         if judge_client is not None:

@@ -591,7 +591,8 @@ class TPUChatClient(ChatClient):
     def __init__(self, cfg=None, params=None, checkpoint_path: str = "",
                  max_new: int = 768, max_batch: int = 32,
                  batch_wait_ms: float = 15.0,
-                 answer_selector_path: str = ""):
+                 answer_selector_path: str = "",
+                 answer_selector_mode: str = "blend"):
         from ..models.captioner import CaptionerConfig, init_params
         # decode budget per completion (static per jit; EOS stops early)
         self.MAX_NEW = max_new
@@ -646,7 +647,8 @@ class TPUChatClient(ChatClient):
         if answer_selector_path:
             from ..models.answer_selector import AnswerSelector
             self._selector = AnswerSelector(
-                checkpoint_path=answer_selector_path)
+                checkpoint_path=answer_selector_path,
+                mode=answer_selector_mode)
 
     def _fit_prompt(self, prompt: str) -> str:
         return fit_prompt_bytes(prompt, self.max_prompt_bytes)
@@ -752,12 +754,14 @@ class TPUChatClient(ChatClient):
 
 def make_chat_client(kind: str, endpoint: str = "", model: str = "",
                      api_key: str = "", checkpoint_path: str = "",
-                     answer_selector_path: str = "", **kw) -> ChatClient:
+                     answer_selector_path: str = "",
+                     answer_selector_mode: str = "blend", **kw) -> ChatClient:
     if kind == "http":
         return HttpChatClient(endpoint, model, api_key, **kw)
     if kind == "local":
         return LocalChatClient()
     if kind == "tpu":
         return TPUChatClient(checkpoint_path=checkpoint_path,
-                             answer_selector_path=answer_selector_path)
+                             answer_selector_path=answer_selector_path,
+                             answer_selector_mode=answer_selector_mode)
     raise ValueError(f"unknown llm backend: {kind}")
