@@ -212,6 +212,15 @@ def main() -> None:
                 best = {"loss": hl, "step": step,
                         "params": jax.tree_util.tree_map(
                             lambda x: np.asarray(x), params)}
+                # persist the running best so a machine reset mid-run
+                # (this environment resets without warning) leaves a
+                # servable checkpoint behind
+                save_params(best["params"], args.out)
+                Path(args.out).with_suffix(".json").write_text(json.dumps(
+                    {"config": "chat", "steps": args.steps,
+                     "seq_len": args.seq_len, "max_new": args.max_new,
+                     "held_loss": hl, "held_best_step": step,
+                     "partial": True}))
 
     if best["params"] is not None and best["step"] < args.steps - 1:
         print(f"early-stop pick: step {best['step']} "

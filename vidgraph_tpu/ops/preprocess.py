@@ -92,6 +92,25 @@ def _interp_matrix(dst: int, src: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=32)
+def _norm_block_matrix(dst: int, src: int, c: int) -> np.ndarray:
+    """Width-resize + CLIP normalisation as ONE matmul operand.
+
+    ``[src*c, dst*c]`` block matrix: ``R[(s,ch), (w,ch)] =
+    interp[w,s] / (255*std_ch)``.  Contracting the flattened ``(w,c)``
+    axis of a ``[B,H,src*c]`` image against it performs the width resize
+    for all channels in a single well-shaped MXU matmul (M=B*H, K=src*c,
+    N=dst*c) — the naive einsum form degenerates to M=3 batched matmuls
+    on the channel axis, which the MXU pads 5x.  The per-channel
+    normalisation scale rides along for free; only the additive bias
+    remains outside.
+    """
+    base = _interp_matrix(dst, src)                      # [dst, src]
+    blocks = np.kron(base.T, np.eye(c, dtype=np.float32))  # [src*c, dst*c]
+    inv_std = np.tile(1.0 / (255.0 * np.asarray(CLIP_STD, np.float32)), dst)
+    return blocks * inv_std[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("size", "use_pallas", "fast"))
 def preprocess_frames(frames_u8: jax.Array, size: int = 224,
                       use_pallas: bool = False,
@@ -99,22 +118,28 @@ def preprocess_frames(frames_u8: jax.Array, size: int = 224,
     """[B,H,W,3] uint8 -> [B,size,size,3], CLIP-normalised.
 
     ``fast=True`` (the TPU hot path) resizes via two bf16 matmuls on the
-    MXU (separable antialiased bilinear) and returns bf16 — measured
-    7.8k fps fused with ViT-B/32 vs 6.5k for the gather-based f32 resize
-    on a v5e.  Default is the exact f32 path.
+    MXU (separable antialiased bilinear) with the CLIP normalisation
+    scale folded into the width-resize matrix, and returns bf16.
+    Default is the exact f32 path.
     """
     x = frames_u8
     b, h, w, c = x.shape
     if (h, w) != (size, size):
         if fast:
             rh = jnp.asarray(_interp_matrix(size, h), jnp.bfloat16)
-            rw = jnp.asarray(_interp_matrix(size, w).T, jnp.bfloat16)
+            r2 = jnp.asarray(_norm_block_matrix(size, w, c), jnp.bfloat16)
             xf = x.astype(jnp.bfloat16)
+            # height contraction: per-frame [size,h] @ [h, w*c]
             y = jnp.einsum("hs,bswc->bhwc", rh, xf)
-            y = jnp.einsum("bhsc,sw->bhwc", y, rw)
-            mean = jnp.asarray(CLIP_MEAN, jnp.bfloat16) * 255.0
-            std = jnp.asarray(CLIP_STD, jnp.bfloat16) * 255.0
-            return (y - mean) / std
+            # width contraction + channel normalisation scale, one matmul
+            y2 = jax.lax.dot_general(
+                y.reshape(b, size, w * c), r2,
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            mean = np.asarray(CLIP_MEAN, np.float32)
+            std = np.asarray(CLIP_STD, np.float32)
+            bias = jnp.asarray(np.tile(-mean / std, size), jnp.bfloat16)
+            return (y2 + bias).reshape(b, size, size, c)
         # Resize in integer space is lossy; convert to f32 first, resize,
         # then apply the affine normalisation (still fused by XLA).
         xf = x.astype(jnp.float32)
