@@ -127,17 +127,35 @@ def main() -> None:
     p50 = statistics.median(times)
     p95 = times[int(0.95 * (len(times) - 1))]
 
+    # every section is fail-soft: a crashed stage must cost its own
+    # fields, never the whole bench line (the driver records one JSON
+    # line per round — an exception here would erase every number)
+    import sys
+    import traceback
+
+    def _soft(fn, fallback):
+        try:
+            return fn()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            return fallback
+
     # realtime first: the stream engine is a latency-sensitive systems
     # benchmark and reads low when queued work from other stages is live
-    rt = _realtime_factor()
+    rt = _soft(_realtime_factor, 0.0)
     # north-star as ONE system (round 4): TPU captioner in the loop
-    ns = _realtime_tpu_captioner()
+    ns = _soft(_realtime_tpu_captioner,
+               {"factor": None, "query_p50_ms": None, "coverage": None})
     # secondary: frames/sec/chip through preprocess + ViT-B/32 embed
-    fps, vit_mfu = _frames_per_second()
-    cap = _captioner_decode()
-    big = _large_store_topk_ms()
-    acs_ms = _acs_metrics_ms()
-    kg_llm = _kg_tpu_llm_s_per_batch()
+    fps, vit_mfu = _soft(_frames_per_second, (0.0, 0.0))
+    cap = _soft(_captioner_decode, {
+        "params": None, "tokens_per_sec": None, "tokens_per_sec_8": None,
+        "mbu": None, "large_params": None, "large_tokens_per_sec": None,
+        "large_tokens_per_sec_8": None, "large_mbu": None})
+    big = _soft(_large_store_topk_ms,
+                {"pipelined_ms": None, "blocking_ms": None})
+    acs_ms = _soft(_acs_metrics_ms, 0.0)
+    kg_llm = _soft(_kg_tpu_llm_s_per_batch, None)
 
     print(json.dumps({
         "metric": "online_retrieval_p50_ms",
