@@ -42,7 +42,8 @@ import optax  # noqa: E402
 from vidgraph_tpu.models import tokenizer  # noqa: E402
 from vidgraph_tpu.models.captioner import (CaptionerConfig, forward,  # noqa: E402
                                            generate_from_tokens, init_params)
-from vidgraph_tpu.models.checkpoint import save_params  # noqa: E402
+from vidgraph_tpu.models.checkpoint import (load_params,  # noqa: E402
+                                            save_params)
 from vidgraph_tpu.models import instruct_data  # noqa: E402
 from vidgraph_tpu.services.llm_client import fit_prompt_bytes  # noqa: E402
 
@@ -110,6 +111,11 @@ def main() -> None:
                     help="held-out examples for the teacher-match eval")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model + tiny dataset (CI wiring check)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from {out}.train_state.npz if present "
+                         "(params + opt state + step; the data pipeline is "
+                         "seed-deterministic, so the dataset rebuilds "
+                         "identically)")
     args = ap.parse_args()
     rng = random.Random(args.seed)
 
@@ -186,14 +192,37 @@ def main() -> None:
             n += m
         return tot / max(n, 1.0)
 
-    nrng = np.random.default_rng(args.seed)
     # sample buckets proportional to their example counts; short-bucket
     # batches are larger so tokens/step stays roughly constant
     weights = np.asarray([b[0].shape[0] for b in buckets], np.float64)
     weights /= weights.sum()
     best = {"loss": float("inf"), "step": -1, "params": None}
+
+    # resumable train state: the device RPC tunnel can hang a multi-hour
+    # run mid-step; a watchdog kills + relaunches with --resume and at
+    # most ~1000 steps are lost
+    state_path = args.out + ".train_state.npz"
+    start_step = 0
+    if args.resume and os.path.exists(state_path):
+        state = {"params": params, "opt": opt_state,
+                 "step": np.zeros((), np.int64)}
+        state = load_params(state, state_path)
+        params, opt_state = state["params"], state["opt"]
+        start_step = int(state["step"]) + 1
+        best["loss"] = held_loss()
+        best["step"] = start_step - 1
+        print(f"resumed from {state_path} at step {start_step} "
+              f"(held {best['loss']:.4f})")
+
+    def save_train_state(step: int) -> None:
+        save_params({"params": params, "opt": opt_state,
+                     "step": np.asarray(step, np.int64)}, state_path)
+
+    # a fresh stream seeded by (seed, start_step) keeps resumed batch
+    # order independent of how many restarts happened
+    nrng = np.random.default_rng(args.seed + start_step)
     t0 = time.time()
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         bi = int(nrng.choice(len(buckets), p=weights))
         toks, plens = buckets[bi]
         bsz = args.batch * (args.seq_len + 1) // toks.shape[1]
@@ -203,9 +232,11 @@ def main() -> None:
             jnp.asarray(plens[idx]))
         if step % 200 == 0 or step == args.steps - 1:
             dt = time.time() - t0
-            rate = f"  ({step / dt:.1f} it/s)" if step else ""
+            rate = (f"  ({(step - start_step) / dt:.1f} it/s)"
+                    if step > start_step else "")
             print(f"step {step:5d}  loss {float(loss):.4f}{rate}")
         if (step % 1000 == 0 and step) or step == args.steps - 1:
+            save_train_state(step)
             hl = held_loss()
             print(f"step {step:5d}  HELD loss {hl:.4f}")
             if hl < best["loss"]:
@@ -226,6 +257,11 @@ def main() -> None:
         print(f"early-stop pick: step {best['step']} "
               f"(held {best['loss']:.4f})")
         params = best["params"]
+    if best["params"] is None and start_step > 0:
+        # resumed run that never improved on the pre-restart best: the
+        # checkpoint on disk is already the better pick — keep it
+        print(f"keeping pre-restart best (held {best['loss']:.4f})")
+        return
     save_params(params, args.out)
     meta = {"config": "chat", "steps": args.steps, "seq_len": args.seq_len,
             "max_new": args.max_new,   # serve client pins MAX_NEW to this

@@ -20,11 +20,20 @@ import numpy as np
 _BF16_PREFIX = "__bf16__/"
 
 
+def _path_key(p) -> str:
+    """Stringify one pytree path element: DictKey (.key), SequenceKey
+    (.idx), or GetAttrKey (.name — NamedTuple fields, e.g. optax states
+    when a whole train state is checkpointed)."""
+    for attr in ("key", "idx", "name"):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
 def _flatten(params: Any) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = "/".join(
-            str(p.key) if hasattr(p, "key") else str(p.idx) for p in path)
+        key = "/".join(_path_key(p) for p in path)
         arr = np.asarray(leaf)
         if arr.dtype == ml_dtypes.bfloat16:
             flat[_BF16_PREFIX + key] = arr.view(np.uint16)
@@ -54,8 +63,7 @@ def load_params(template: Any, path: str) -> Any:
     leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path_elems, leaf in leaves:
-        key = "/".join(str(p.key) if hasattr(p, "key") else str(p.idx)
-                       for p in path_elems)
+        key = "/".join(_path_key(p) for p in path_elems)
         if key not in flat:
             raise KeyError(f"checkpoint missing parameter: {key}")
         arr = flat[key]
