@@ -427,10 +427,13 @@ def _realtime_tpu_captioner() -> dict:
         while True:
             yield frame
 
-    # warmup engine: compile the serving-batch decode shapes off the clock
+    # warmup engine: compile the serving-batch decode shapes AND the
+    # query/retrieval path off the clock
     asyncio.run(simulate(make_engine(),
                          {f"cam{i}": src() for i in range(8)},
-                         video_seconds=2.0))
+                         video_seconds=2.0,
+                         queries=[(1.0, "cam0",
+                                   "what color is the object?")]))
     kg_triplets.clear()
     engine = make_engine()
     video_s = 8.0
