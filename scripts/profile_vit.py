@@ -40,12 +40,21 @@ HBM = 819e9         # v5e HBM bytes/s
 
 
 def timeit(fn, *args, reps: int = 10):
+    """Pipelined per-dispatch wall time.  Only a tiny slice of the output
+    is fetched: fetching a full [B,224,224,3] stage output through the
+    tunnelled chip costs ~200 ms and would swamp the device time (the
+    first profile run made the preprocess stage read 201 ms vs its ~4 ms
+    device cost for exactly this reason)."""
+    def probe(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        return np.asarray(leaf.ravel()[:8])
+
     out = fn(*args)
-    jax.tree_util.tree_map(lambda a: np.asarray(a), out)  # force fetch
+    probe(out)   # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+    probe(out)
     return (time.perf_counter() - t0) / reps
 
 
