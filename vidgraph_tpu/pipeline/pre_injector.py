@@ -327,15 +327,13 @@ class PreLLMInjector:
         use_similarity = bool(self.llm_injector_config and
                               self.llm_injector_config
                               .subgraph_extraction_injection)
+        t_embed = time.perf_counter()
         if use_similarity:
             await self._embed_chunks(chunk_data)
+            t_sim = time.perf_counter()
             if graph_store is not None:
-                t0 = time.perf_counter()
                 top_similar = self._top_similar_existing(chunk_data,
                                                          graph_store)
-                logger.debug("Similarity pass in %.1f ms: %s",
-                             (time.perf_counter() - t0) * 1e3,
-                             [(c, round(s, 3)) for c, s in top_similar])
                 for cid, _score in top_similar:
                     s = self._extract_subgraph_for_chunk_id(cid, graph_store)
                     if s:
@@ -343,9 +341,15 @@ class PreLLMInjector:
         else:
             # embeddings are still needed for chunk nodes (vector retrieval)
             await self._embed_chunks(chunk_data)
+            t_sim = time.perf_counter()
+        t_llm = time.perf_counter()
 
         triplets = await self._run_chunk_extractions(chunk_data)
+        t_done = time.perf_counter()
         triplets = self.deduplicate_triplets(triplets)
-        logger.info("Extracted %d local triplets from %d chunks",
-                    len(triplets), len(chunk_data))
+        logger.info(
+            "Extracted %d local triplets from %d chunks "
+            "(embed %.2fs, sim+subgraph %.2fs, llm %.2fs)",
+            len(triplets), len(chunk_data), t_sim - t_embed,
+            t_llm - t_sim, t_done - t_llm)
         return triplets, chunk_data, subgraphs

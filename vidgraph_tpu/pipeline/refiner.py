@@ -182,9 +182,13 @@ class GlobalRefiner:
             self.config.max_prune_instructions,
             context_is_empty=context_is_empty)
         try:
+            t0 = time.perf_counter()
             raw = await self.chat.complete(
                 prompt, temperature=0.0,
                 max_tokens=self.config.refinement_max_tokens)
+            logger.info("Instruction refinement LLM call: %.2fs "
+                        "(prompt %dB)", time.perf_counter() - t0,
+                        len(prompt))
         except Exception as e:
             logger.error("Instruction refinement LLM failed: %s", e)
             return {**empty_ops,

@@ -588,6 +588,9 @@ class TPUChatClient(ChatClient):
     #: the batcher is the rate limiter, not the per-call concurrency cap
     coalesces_batches = True
 
+    #: pinned prompt-pad bucket for shape pinning (see complete_batch_sync)
+    SERVE_T_PAD = 2048
+
     def __init__(self, cfg=None, params=None, checkpoint_path: str = "",
                  max_new: int = 768, max_batch: int = 32,
                  batch_wait_ms: float = 15.0,
@@ -707,6 +710,23 @@ class TPUChatClient(ChatClient):
         b_pad = 1
         while b_pad < b:
             b_pad *= 2
+        # Shape pinning (round 4): the KV-cached decode scan is
+        # scan-length-dominated — measured 3.5-4.6 s for a KG extraction
+        # batch at ANY (b_pad, t_pad) in range — while every NEW
+        # (b_pad, t_pad, max_new) triple costs a 20-90 s remote compile
+        # that the axon PJRT plugin never writes to the persistent cache
+        # (each process pays every compile again).  Pin both pads to
+        # their serving maxima so a whole KG run compiles ~2 executables
+        # (extraction batch + single-prompt refinement) instead of ~10,
+        # which on a congested tunnel is the difference between
+        # 9 s/batch and 24 s/batch on the full reference workload.
+        if t_pad <= self.SERVE_T_PAD <= cap:
+            t_pad = self.SERVE_T_PAD
+        if 1 < b_pad <= self.max_batch:
+            bm = 1
+            while bm < self.max_batch:
+                bm *= 2
+            b_pad = bm
         toks = np.full((b_pad, t_pad), tokenizer.PAD_ID, np.int32)
         lens = np.ones((b_pad,), np.int32)
         toks[:, 0] = tokenizer.BOS_ID      # filler rows: BOS-only context
@@ -715,12 +735,19 @@ class TPUChatClient(ChatClient):
             lens[r] = len(ids)
         if self._decode_lock is None:
             self._decode_lock = threading.Lock()
+        import time as _time
+        t0 = _time.perf_counter()
         with self._decode_lock:            # the chip serves one decode at a time
+            t_lock = _time.perf_counter()
             with maybe_mesh(self._mesh):
                 out = generate_from_tokens(
                     self.params, self.cfg, jnp.asarray(toks),
                     jnp.asarray(lens), max_new=max_new)
             out = np.asarray(out)
+        t1 = _time.perf_counter()
+        logger.info("decode dispatch b=%d(pad %d) t_pad=%d max_new=%d: "
+                    "%.2fs (lock wait %.2fs)", b, b_pad, t_pad, max_new,
+                    t1 - t0, t_lock - t0)
         return [tokenizer.decode(out[r]) for r in range(b)]
 
     def complete_sync(self, prompt: str, max_tokens: int = 2048) -> str:
