@@ -303,7 +303,8 @@ def _large_store_topk_ms() -> dict:
         store.add([f"c{j}" for j in range(i, i + step)],
                   rng.normal(size=(step, 512)).astype(np.float32))
     q = rng.normal(size=(16, 512)).astype(np.float32)
-    store.search(q, k=5)  # compile + warm
+    store.search(q, k=5)      # compile + warm (batch shape)
+    store.search(q[:1], k=5)  # compile + warm (single-query shape)
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
