@@ -44,6 +44,9 @@ class VLMConfig(_Model):
     # host-resizes (errors without cv2); "device" always resizes on device.
     preprocess: str = "auto"   # auto | host | device
     fast_resize: bool = True   # bf16 separable resize vs exact f32
+    # weight-only int8 serving for the captioner (models/quant8.py):
+    # None | "int8" (bf16 activations) | "int8_a8" (int8 MXU dot)
+    quantize: Optional[str] = None
 
 
 class LLMInjectorConfig(_Model):

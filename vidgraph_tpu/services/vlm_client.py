@@ -55,7 +55,8 @@ class TPUVLMClient(VLMClient):
                  preset: Optional[str] = None,
                  preprocess: str = "auto",
                  fast_resize: bool = True,
-                 param_dtype=None) -> None:
+                 param_dtype=None,
+                 quantize: Optional[str] = None) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -94,6 +95,28 @@ class TPUVLMClient(VLMClient):
             self.vit_params = shard_vit_params(self.vit_params, self._mesh)
             self.cap_params = shard_captioner_params(self.cap_params,
                                                      self._mesh)
+        # Weight-only int8 serving (models/quant8.py): halves the
+        # per-decode-step HBM weight reads of the bandwidth-bound large
+        # captioner.  Applied AFTER checkpoint load; mutually exclusive
+        # with the tensor-parallel mesh (its shardings are declared for
+        # float trees — quantized multi-chip serving is future work).
+        if quantize:
+            if quantize not in ("int8", "int8_a8"):
+                raise ValueError(f"quantize must be int8|int8_a8, "
+                                 f"got {quantize!r}")
+            if self._mesh is not None:
+                logger.warning("quantize=%s ignored: a tensor-parallel "
+                               "serving mesh is active", quantize)
+                quantize = None
+            else:
+                from ..models.quant8 import quantize_captioner_params
+                import dataclasses
+
+                self.cap_params = quantize_captioner_params(self.cap_params)
+                self.cap_cfg = dataclasses.replace(
+                    self.cap_cfg,
+                    qmode="a8" if quantize == "int8_a8" else "a16")
+        self.quantize = quantize
         self.max_new = max_new
         # Reproducibility knobs (ADVICE r2): "auto" picks host cv2 resize
         # for large frames iff cv2 imports, "host"/"device" pin the path
@@ -320,8 +343,11 @@ def make_vlm_client(kind: str, vlm_config=None) -> VLMClient:
             if vlm_config is not None else "auto"
         fast = getattr(vlm_config, "fast_resize", True) \
             if vlm_config is not None else True
+        quant = getattr(vlm_config, "quantize", None) \
+            if vlm_config is not None else None
         return TPUVLMClient(checkpoint=ckpt, preset=preset,
-                            preprocess=pre, fast_resize=fast)
+                            preprocess=pre, fast_resize=fast,
+                            quantize=quant)
     if kind == "local":
         return LocalVLMClient()
     if kind == "http":
