@@ -108,3 +108,35 @@ def test_tpu_chat_client_routes_answer_prompts_to_selector(tmp_path):
     # non-answer prompts still go through the LM decode path
     out2 = client.complete_sync("Extract triplets: a person holds a flask.")
     assert isinstance(out2, str)
+
+
+def test_local_chat_client_routes_answer_prompts_to_selector(tmp_path):
+    """Round 4: the deterministic pipeline can carry the trained semantic
+    channel too — LocalChatClient(answer_selector_path=...) routes ONLY
+    the benchmark answer role through the selector; every other contract
+    (extraction/judge/refinement) stays rule-based."""
+    from vidgraph_tpu.pipeline.prompts import build_benchmark_answer_prompt
+    from vidgraph_tpu.services.llm_client import (LocalChatClient,
+                                                  make_chat_client)
+
+    cfg = RerankerConfig.tiny()
+    path = tmp_path / "sel.npz"
+    save_params(init_reranker_params(cfg, seed=0), str(path))
+    path.with_suffix(".json").write_text(json.dumps({"selector_cfg": {
+        "width": cfg.width, "layers": cfg.layers, "heads": cfg.heads,
+        "max_len": cfg.max_len, "query_budget": cfg.query_budget}}))
+    client = make_chat_client("local", answer_selector_path=str(path))
+    assert isinstance(client, LocalChatClient)
+    prompt = build_benchmark_answer_prompt("what color is the beaker?", CTX)
+    out = client.complete_sync(prompt)
+    assert out.endswith(".")
+    for sent in out.rstrip(".").split(". "):
+        assert sent in CTX, sent
+    # a judge prompt is NOT routed through the selector
+    from vidgraph_tpu.pipeline.prompts import build_benchmark_evaluation_prompt
+    judged = client.complete_sync(build_benchmark_evaluation_prompt(
+        "q", "red beaker", "The beaker is red.", CTX))
+    assert "is_correct" in judged
+    # default construction (no selector) keeps the deterministic answerer
+    base = LocalChatClient().complete_sync(prompt)
+    assert base.endswith(".")

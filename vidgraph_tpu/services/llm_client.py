@@ -416,7 +416,22 @@ def extractive_answer(question: str, context: str,
 
 
 class LocalChatClient(ChatClient):
-    """Rule-based responder keyed on this framework's prompt contracts."""
+    """Rule-based responder keyed on this framework's prompt contracts.
+
+    ``answer_selector_path`` (round 4) optionally routes the benchmark
+    ANSWER role through the trained selection model
+    (models/answer_selector.py) — the same semantic channel the
+    fully-on-device pipeline uses (+1-2 correct on 3 of 4 eval-matrix
+    cells there, docs/EVAL.md); every other role stays deterministic."""
+
+    def __init__(self, answer_selector_path: str = "",
+                 answer_selector_mode: str = "blend") -> None:
+        self._selector = None
+        if answer_selector_path:
+            from ..models.answer_selector import AnswerSelector
+            self._selector = AnswerSelector(
+                checkpoint_path=answer_selector_path,
+                mode=answer_selector_mode)
 
     async def complete(self, prompt, system=None, temperature=0.0,
                        max_tokens=2048) -> str:
@@ -517,6 +532,8 @@ class LocalChatClient(ChatClient):
     def _answer(self, prompt: str) -> str:
         question = _section(prompt, "QUESTION:", ["VIDEO CONTEXT:"])
         context = _section(prompt, "VIDEO CONTEXT:", ["CONCISE ANSWER:"])
+        if self._selector is not None:
+            return self._selector.answer(question, context)
         return extractive_answer(question, context)
 
     # -- benchmark judge ---------------------------------------------------------
@@ -786,7 +803,8 @@ def make_chat_client(kind: str, endpoint: str = "", model: str = "",
     if kind == "http":
         return HttpChatClient(endpoint, model, api_key, **kw)
     if kind == "local":
-        return LocalChatClient()
+        return LocalChatClient(answer_selector_path=answer_selector_path,
+                               answer_selector_mode=answer_selector_mode)
     if kind == "tpu":
         return TPUChatClient(checkpoint_path=checkpoint_path,
                              answer_selector_path=answer_selector_path,
