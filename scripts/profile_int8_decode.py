@@ -86,6 +86,7 @@ def main():
         ("bf16", params, cfg),
         ("int8_a16", qparams, dataclasses.replace(cfg, qmode="a16")),
         ("int8_a8", qparams, dataclasses.replace(cfg, qmode="a8")),
+        ("int8_a16p", qparams, dataclasses.replace(cfg, qmode="a16p")),
     ):
         pbytes, rows = bench_one(p, c, args.batches, args.max_new, args.reps)
         report[name] = {"weight_bytes": pbytes, "batches": rows}

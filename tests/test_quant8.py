@@ -92,3 +92,38 @@ def test_q8_is_a_pytree_node():
     assert len(leaves) == 2
     doubled = jax.tree_util.tree_map(lambda a: a, {"w": q})
     assert isinstance(doubled["w"], Q8)
+
+
+def test_q8_matmul_kernel_interpret():
+    """Pallas weight-only matmul (ops/q8_matmul.py) matches the dequant
+    reference in interpret mode; a16p mode falls back to a16 off-TPU and
+    stays token-identical."""
+    import jax.numpy as jnp
+
+    from vidgraph_tpu.ops.q8_matmul import q8_matmul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+    w = rng.normal(size=(256, 384)).astype(np.float32) * 0.05
+    s = np.abs(w).max(0) / 127.0
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    got = np.asarray(q8_matmul(x, jnp.asarray(q), jnp.asarray(s),
+                               interpret=True))
+    ref = np.asarray(x, np.float32) @ (q.astype(np.float32) * s)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-3  # bf16 dot
+    # odd N/K rejected loudly
+    with pytest.raises(ValueError):
+        q8_matmul(x[:, :100], jnp.asarray(q[:100, :100]),
+                  jnp.asarray(s[:100]), interpret=True)
+
+
+def test_a16p_mode_token_identical(setup):
+    cfg, params, qparams, toks, vis = setup
+    plen = jnp.asarray([10, 16], jnp.int32)
+    ref = np.asarray(generate_from_tokens(
+        qparams, dataclasses.replace(cfg, qmode="a16"), toks, plen,
+        max_new=8))
+    got = np.asarray(generate_from_tokens(
+        qparams, dataclasses.replace(cfg, qmode="a16p"), toks, plen,
+        max_new=8))
+    assert np.array_equal(ref, got)

@@ -38,6 +38,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 @jax.tree_util.register_pytree_node_class
 class Q8:
@@ -102,6 +103,19 @@ def wdot(x: jnp.ndarray, w: Any, dtype: Any, mode: str = "a16") -> jnp.ndarray:
     (static) config so switching modes retraces."""
     if not is_q8(w):
         return x @ w.astype(dtype)
+    if mode == "a16p":
+        # Pallas kernel: int8 tile converted in VMEM — data movement
+        # pinned by construction (ops/q8_matmul.py).  Only profitable
+        # (and VMEM-safe) for small-M decode steps on real TPU; other
+        # shapes/backends use the XLA a16 path below.
+        lead = int(np.prod(x.shape[:-1]))
+        k, n = w.q.shape
+        if (jax.default_backend() == "tpu" and lead <= 64
+                and k % 128 == 0 and n % 128 == 0):
+            from ..ops.q8_matmul import q8_matmul
+            y = q8_matmul(x.reshape(lead, k), w.q, w.s)
+            return y.reshape(*x.shape[:-1], n).astype(dtype)
+        mode = "a16"
     if mode == "a8":
         # dynamic per-row activation quant; int8 x int8 MXU dot
         xf = x.astype(jnp.float32)
