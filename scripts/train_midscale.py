@@ -89,6 +89,14 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="checkpoints/midscale_lm.npz")
+    ap.add_argument("--flash", action="store_true",
+                    help="FlashAttention (Pallas) training path: O(T) "
+                         "attention residuals, so remat defaults OFF — "
+                         "the [B,h,T,T] probabilities that forced remat "
+                         "at this scale are never materialised")
+    ap.add_argument("--remat", action="store_true",
+                    help="force block rematerialisation (always on for "
+                         "the non-flash path at this scale)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny config on CPU (wiring check)")
     args = ap.parse_args()
@@ -119,10 +127,16 @@ def main() -> None:
                      optax.adamw(sched, weight_decay=0.01))
     opt_state = tx.init(params)
 
+    # non-flash at 200M/1024 REQUIRES remat (materialised attention
+    # probabilities alone need 21.96 GB vs 15.75 GB HBM — docs/EVAL.md);
+    # flash stores O(T) residuals so remat becomes opt-in
+    remat = args.remat or not args.flash
+    print(f"attention: {'flash' if args.flash else 'einsum'}, remat={remat}")
+
     def loss_fn(p, batch):
         inputs, targets = batch[:, :-1], batch[:, 1:]
         vis = jnp.zeros((inputs.shape[0], nv, cfg.vision_dim), jnp.float32)
-        logits = forward(p, cfg, vis, inputs, remat=True)
+        logits = forward(p, cfg, vis, inputs, remat=remat, flash=args.flash)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
         mask = (targets != tokenizer.PAD_ID).astype(jnp.float32)
         return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
@@ -181,6 +195,8 @@ def main() -> None:
             "params_m": round(cfg.num_params / 1e6, 1),
             "steps": args.steps, "batch": args.batch,
             "seq_len": args.seq_len,
+            "attention": "flash" if args.flash else "einsum",
+            "remat": remat,
             "first_loss": round(first_loss, 4),
             "last_loss": round(last_loss, 4),
             "step_ms": round(step_s * 1e3, 1),
