@@ -109,6 +109,11 @@ def main() -> None:
     ap.add_argument("--out", default="checkpoints/instruct_lm.npz")
     ap.add_argument("--eval-count", type=int, default=48,
                     help="held-out examples for the teacher-match eval")
+    ap.add_argument("--flash", action="store_true",
+                    help="FlashAttention (Pallas) training path with "
+                         "remat off: O(T) attention residuals instead of "
+                         "the [B,h,T,T] probabilities (same semantics — "
+                         "tests/test_flash_attention.py)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model + tiny dataset (CI wiring check)")
     ap.add_argument("--resume", action="store_true",
@@ -163,7 +168,8 @@ def main() -> None:
         inputs = batch_toks[:, :-1]
         targets = batch_toks[:, 1:]
         vis = jnp.zeros((inputs.shape[0], nv, cfg.vision_dim), jnp.float32)
-        logits = forward(p, cfg, vis, inputs, remat=True)
+        logits = forward(p, cfg, vis, inputs, remat=not args.flash,
+                         flash=args.flash)
         pos = jnp.arange(targets.shape[1])[None]
         mask = ((pos >= (batch_plens[:, None] - 1))
                 & (targets != tokenizer.PAD_ID)).astype(jnp.float32)
