@@ -19,10 +19,26 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vidgraph_tpu.models.captioner import (CaptionerConfig, forward,
-                                           init_params)
+from vidgraph_tpu.models.captioner import (CaptionerConfig, flash_pad_len,
+                                           forward, init_params)
 
 REPO = Path(__file__).resolve().parent.parent
+
+
+def test_flash_pad_len_picks_cheaper_large_block_multiple():
+    """The pad target must (a) be >= t, (b) be divisible by 384 or 512 so
+    _attn_flash never falls back to 128-blocks, and (c) be the cheaper of
+    the two candidates."""
+    for t in (1, 17, 258, 384, 385, 512, 513, 1024, 1032, 4000):
+        p = flash_pad_len(t)
+        assert p >= t
+        assert p % 384 == 0 or p % 512 == 0, (t, p)
+        assert p == min(x for x in (p, -(-t // 384) * 384,
+                                    -(-t // 512) * 512))
+    assert flash_pad_len(258) == 384
+    assert flash_pad_len(512) == 512      # exact multiple stays put
+    assert flash_pad_len(513) == 768      # 768 beats 1024
+    assert flash_pad_len(1024) == 1024    # 1024 beats 1152
 
 
 def test_flash_flag_falls_back_on_cpu():
