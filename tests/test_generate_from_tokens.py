@@ -93,6 +93,24 @@ def test_ragged_batch_matches_single_row_decode():
             f"row {r} ({prompts[r]!r}): {batched[r]} != {solo}")
 
 
+def test_early_exit_budget_invariance():
+    """The all-rows-EOS early exit (``_decode_loop``'s while_loop) must
+    make the decode budget invisible: a completion that ends at EOS
+    within a small budget must be byte-identical under a much larger
+    budget, with the extra columns a pure EOS tail (the prefilled
+    output buffer)."""
+    params = init_params(CFG, seed=5)
+    ids = tokenizer.encode("green", add_bos=True, add_eos=False)
+    small = np.asarray(generate_from_tokens(
+        params, CFG, _pad(ids, 16), jnp.int32(len(ids)), max_new=8))[0]
+    large = np.asarray(generate_from_tokens(
+        params, CFG, _pad(ids, 16), jnp.int32(len(ids)), max_new=32))[0]
+    eos_at = np.where(small == tokenizer.EOS_ID)[0]
+    if eos_at.size:  # EOS inside the small budget -> budgets must agree
+        assert np.array_equal(small, large[:8])
+        assert np.all(large[eos_at[0]:] == tokenizer.EOS_ID)
+
+
 def test_chat_client_batch_matches_sync():
     """complete_batch_sync must return, per prompt, what complete_sync
     returns for that prompt alone (filler rows to the power-of-two batch

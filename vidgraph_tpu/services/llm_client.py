@@ -745,8 +745,11 @@ class TPUChatClient(ChatClient):
                 bm *= 2
             b_pad = bm
         toks = np.full((b_pad, t_pad), tokenizer.PAD_ID, np.int32)
-        lens = np.ones((b_pad,), np.int32)
-        toks[:, 0] = tokenizer.BOS_ID      # filler rows: BOS-only context
+        # filler rows: prompt_len 0 marks them inert — they emit EOS at
+        # step 0 instead of decoding a full budget of discarded garbage,
+        # so the all-rows-EOS early exit is governed by REAL rows only
+        lens = np.zeros((b_pad,), np.int32)
+        toks[:, 0] = tokenizer.BOS_ID
         for r, ids in enumerate(ids_list):
             toks[r, :len(ids)] = ids
             lens[r] = len(ids)
