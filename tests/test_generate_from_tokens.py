@@ -94,11 +94,12 @@ def test_ragged_batch_matches_single_row_decode():
 
 
 def test_early_exit_budget_invariance():
-    """The all-rows-EOS early exit (``_decode_loop``'s while_loop) must
-    make the decode budget invisible: a completion that ends at EOS
-    within a small budget must be byte-identical under a much larger
-    budget, with the extra columns a pure EOS tail (the prefilled
-    output buffer)."""
+    """The decode budget must be invisible to the result: a completion
+    that ends at EOS within a small budget must be byte-identical under
+    a much larger budget, with the extra columns a pure EOS tail (done
+    rows are forced to EOS every later step).  This also pins the
+    contract any future early-exit optimisation must preserve
+    (docs/DESIGN.md round-4 lesson 8)."""
     params = init_params(CFG, seed=5)
     ids = tokenizer.encode("green", add_bos=True, add_eos=False)
     small = np.asarray(generate_from_tokens(
