@@ -745,9 +745,10 @@ class TPUChatClient(ChatClient):
                 bm *= 2
             b_pad = bm
         toks = np.full((b_pad, t_pad), tokenizer.PAD_ID, np.int32)
-        # filler rows: prompt_len 0 marks them inert — they emit EOS at
-        # step 0 instead of decoding a full budget of discarded garbage,
-        # so the all-rows-EOS early exit is governed by REAL rows only
+        # filler rows: prompt_len 0 marks them inert — they emit EOS
+        # from step 0 (models/captioner.py::generate_from_tokens), so
+        # any loop bound keyed on row completion is governed by REAL
+        # rows only (docs/DESIGN.md round-4 lesson 8)
         lens = np.zeros((b_pad,), np.int32)
         toks[:, 0] = tokenizer.BOS_ID
         for r, ids in enumerate(ids_list):
