@@ -40,7 +40,8 @@ import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
 from vidgraph_tpu.models import tokenizer  # noqa: E402
-from vidgraph_tpu.models.captioner import (CaptionerConfig, forward,  # noqa: E402
+from vidgraph_tpu.models.captioner import (CaptionerConfig,  # noqa: E402
+                                           flash_engaged, forward,
                                            generate_from_tokens, init_params)
 from vidgraph_tpu.models.checkpoint import (load_params,  # noqa: E402
                                             save_params)
@@ -164,12 +165,16 @@ def main() -> None:
                      optax.adamw(sched, weight_decay=0.01))
     opt_state = tx.init(params)
 
+    # ADVICE r4: forward() silently drops flash on non-TPU backends, so
+    # the remat decision must come from whether flash ACTUALLY engages
+    flash = flash_engaged(args.flash)
+
     def loss_fn(p, batch_toks, batch_plens):
         inputs = batch_toks[:, :-1]
         targets = batch_toks[:, 1:]
         vis = jnp.zeros((inputs.shape[0], nv, cfg.vision_dim), jnp.float32)
-        logits = forward(p, cfg, vis, inputs, remat=not args.flash,
-                         flash=args.flash)
+        logits = forward(p, cfg, vis, inputs, remat=not flash,
+                         flash=flash)
         pos = jnp.arange(targets.shape[1])[None]
         mask = ((pos >= (batch_plens[:, None] - 1))
                 & (targets != tokenizer.PAD_ID)).astype(jnp.float32)

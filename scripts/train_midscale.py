@@ -46,7 +46,8 @@ import optax  # noqa: E402
 
 from vidgraph_tpu.models import instruct_data, tokenizer  # noqa: E402
 from vidgraph_tpu.models.captioner import (CaptionerConfig,  # noqa: E402
-                                           forward, generate_from_tokens,
+                                           flash_engaged, forward,
+                                           generate_from_tokens,
                                            init_params, quantize_params)
 from vidgraph_tpu.models.checkpoint import (load_params,  # noqa: E402
                                             save_params)
@@ -127,16 +128,19 @@ def main() -> None:
                      optax.adamw(sched, weight_decay=0.01))
     opt_state = tx.init(params)
 
+    # ADVICE r4: forward() silently drops flash on non-TPU backends, so
+    # the remat decision must come from whether flash ACTUALLY engages
+    flash = flash_engaged(args.flash)
     # non-flash at 200M/1024 REQUIRES remat (materialised attention
     # probabilities alone need 21.96 GB vs 15.75 GB HBM — docs/EVAL.md);
     # flash stores O(T) residuals so remat becomes opt-in
-    remat = args.remat or not args.flash
-    print(f"attention: {'flash' if args.flash else 'einsum'}, remat={remat}")
+    remat = args.remat or not flash
+    print(f"attention: {'flash' if flash else 'einsum'}, remat={remat}")
 
     def loss_fn(p, batch):
         inputs, targets = batch[:, :-1], batch[:, 1:]
         vis = jnp.zeros((inputs.shape[0], nv, cfg.vision_dim), jnp.float32)
-        logits = forward(p, cfg, vis, inputs, remat=remat, flash=args.flash)
+        logits = forward(p, cfg, vis, inputs, remat=remat, flash=flash)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
         mask = (targets != tokenizer.PAD_ID).astype(jnp.float32)
         return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
@@ -195,7 +199,7 @@ def main() -> None:
             "params_m": round(cfg.num_params / 1e6, 1),
             "steps": args.steps, "batch": args.batch,
             "seq_len": args.seq_len,
-            "attention": "flash" if args.flash else "einsum",
+            "attention": "flash" if flash else "einsum",
             "remat": remat,
             "first_loss": round(first_loss, 4),
             "last_loss": round(last_loss, 4),

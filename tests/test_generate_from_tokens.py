@@ -99,17 +99,32 @@ def test_early_exit_budget_invariance():
     a much larger budget, with the extra columns a pure EOS tail (done
     rows are forced to EOS every later step).  This also pins the
     contract any future early-exit optimisation must preserve
-    (docs/DESIGN.md round-4 lesson 8)."""
+    (docs/DESIGN.md round-4 lesson 8).
+
+    ADVICE r4 low #3: random-init models never emit EOS inside the
+    budget, which made the old ``if eos_at.size`` guard silently
+    vacuous.  EOS is now GUARANTEED mid-budget by planting a
+    position-keyed logit spike: a huge ``pos_emb`` component along the
+    EOS head column from position ``p`` on dominates the residual
+    stream (layernorm preserves direction), so the argmax flips to EOS
+    a few steps into the decode — deterministically."""
     params = init_params(CFG, seed=5)
     ids = tokenizer.encode("green", add_bos=True, add_eos=False)
+    # decode positions start at nv + prompt_len; spike 3 steps in
+    spike_pos = CFG.num_vision_tokens + len(ids) + 3
+    v = np.asarray(params["head_w"][:, tokenizer.EOS_ID], np.float32)
+    pe = np.array(params["pos_emb"], np.float32)  # copy: jax buffers are RO
+    pe[spike_pos:] = v * (1000.0 / max(np.linalg.norm(v), 1e-6))
+    params["pos_emb"] = jnp.asarray(pe)
     small = np.asarray(generate_from_tokens(
         params, CFG, _pad(ids, 16), jnp.int32(len(ids)), max_new=8))[0]
     large = np.asarray(generate_from_tokens(
         params, CFG, _pad(ids, 16), jnp.int32(len(ids)), max_new=32))[0]
     eos_at = np.where(small == tokenizer.EOS_ID)[0]
-    if eos_at.size:  # EOS inside the small budget -> budgets must agree
-        assert np.array_equal(small, large[:8])
-        assert np.all(large[eos_at[0]:] == tokenizer.EOS_ID)
+    assert eos_at.size, "EOS spike failed to fire inside the budget"
+    assert 0 < eos_at[0] < 8          # genuinely mid-budget
+    assert np.array_equal(small, large[:8])
+    assert np.all(large[eos_at[0]:] == tokenizer.EOS_ID)
 
 
 def test_chat_client_batch_matches_sync():

@@ -133,11 +133,20 @@ class Neo4jGraphStore(GraphStore):
             "WITH e, collect(DISTINCT c.id) AS ids "
             "SET e.source_chunk_ids = coalesce(e.source_chunk_ids, []) + ids",
             uuid=self.graph_uuid, bi=batch_idx)
+        counts = {}
         if operations:
             self._apply_operations(operations, batch_idx)
+            counts = {
+                "ops_emitted_merge":
+                    len(operations.get("merge_instructions") or []),
+                "ops_emitted_prune":
+                    len(operations.get("prune_instructions") or []),
+                "ops_emitted_inter":
+                    len(operations.get("inter_chunk_relations") or [])}
         self.create_indexes()
         return {"embedding_time": 0.0, "indexing_time": 0.0,
-                "graph_injection_time": _time.perf_counter() - t0}
+                "graph_injection_time": _time.perf_counter() - t0,
+                **counts}
 
     def _apply_operations(self, operations, batch_idx):
         for m in operations.get("merge_instructions") or []:

@@ -155,15 +155,90 @@ def _candidates_from(chunks: Sequence[str], rng: random.Random,
     return cands[:cap]
 
 
-def _subgraph_context(rng: random.Random) -> str:
+def _entity_variant(name: str, rng: random.Random) -> str:
+    """A surface variant with the SAME canonical form (llm_client.
+    _canon_entity) — the duplicate shape the merge teacher detects."""
+    from ..services.llm_client import _canon_entity
+
+    forms = []
+    low = name.lower()
+    if not low.startswith(("the ", "a ", "an ")):
+        forms.append("The " + name)
+    last = name.split()[-1]
+    if not last.lower().endswith("s"):
+        forms.append(name + "s")
+    elif len(last) > 3 and not last.lower().endswith("ss"):
+        forms.append(name[:-1])
+    canon = _canon_entity(name)
+    forms = [f for f in forms
+             if f != name and _canon_entity(f) == canon]
+    return rng.choice(forms) if forms else "The " + name
+
+
+def _context_for_candidates(cands: Sequence[Dict],
+                            rng: random.Random) -> str:
+    """Subgraph context in the REAL serve format (refiner.py wraps
+    pre_injector's ``Subgraph: (Name / ID: b_c)-[REL]->(...)`` strings
+    as ``Subgraph_{i}: ...``) — round 5 fixes the round-3/4 synthetic
+    ``(Entity: X / ID: y)`` format that never matched serve time.
+
+    Edges are DERIVED from the candidates so every op class has training
+    signal: canonical-variant entities (merge), exactly-named candidate
+    tails (inter-chunk link), superseded state facts (prune), plus
+    unrelated distractors (teaching the model NOT to over-edit)."""
+    from ..services.llm_client import _STATE_RELS, _canon_rel
+
+    def sid() -> str:
+        return f"{rng.randrange(50)}_{rng.randrange(6)}"
+
+    def rand_entity() -> str:
+        return (f"{rng.choice(_COLORS).title()} "
+                f"{rng.choice(_OBJECTS).title()}")
+
+    def rel_label(r: str) -> str:
+        return str(r).replace(" ", "_").upper()
+
+    edges: List[str] = []
+    pool = rng.sample(list(cands), min(len(cands), rng.randint(1, 3)))
+    for tr in pool:
+        h = str(tr.get("head", "Item"))
+        r = str(tr.get("relation", "near"))
+        t = str(tr.get("tail", "Bench"))
+        scenario = rng.choice(("merge", "inter", "prune", "distract"))
+        if scenario == "prune" and _canon_rel(r) not in _STATE_RELS:
+            scenario = rng.choice(("merge", "inter", "distract"))
+        if scenario == "merge":
+            v = _entity_variant(h if rng.random() < 0.5 else t, rng)
+            edges.append(f"({v} / ID: {sid()})-[{rel_label(rng.choice(_VERBS))}]"
+                         f"->({rand_entity()} / ID: {sid()})")
+        elif scenario == "inter":
+            # the candidate's tail, exactly named, already in the graph
+            if rng.random() < 0.5:
+                edges.append(f"({t} / ID: {sid()})-"
+                             f"[{rel_label(rng.choice(_VERBS))}]->"
+                             f"({rand_entity()} / ID: {sid()})")
+            else:
+                edges.append(f"({rand_entity()} / ID: {sid()})-"
+                             f"[{rel_label(rng.choice(_VERBS))}]->"
+                             f"({t} / ID: {sid()})")
+        elif scenario == "prune":
+            old_tail = rand_entity() if rng.random() < 0.6 else \
+                f"{rng.uniform(-99, 99):.3f} {rng.choice(('G', 'Ml'))}"
+            edges.append(f"({h} / ID: {sid()})-[{rel_label(r)}]->"
+                         f"({old_tail} / ID: {sid()})")
+        else:
+            edges.append(f"({rand_entity()} / ID: {sid()})-"
+                         f"[{rel_label(rng.choice(_VERBS))}]->"
+                         f"({rand_entity()} / ID: {sid()})")
+    # distribute edges over 1-3 Subgraph_N lines like the live refiner
+    rng.shuffle(edges)
+    n_lines = rng.randint(1, min(3, len(edges)))
     lines = []
-    for i in range(rng.randint(1, 3)):
-        e1 = f"{rng.choice(_COLORS).title()} {rng.choice(_OBJECTS).title()}"
-        e2 = rng.choice(_OBJECTS).title()
-        rel = rng.choice(_VERBS).upper()
-        b, c = rng.randrange(50), rng.randrange(6)
-        lines.append(f"Subgraph_{i + 1}: (Entity: {e1} / ID: {b}_{c})"
-                     f"-[{rel}]->(Entity: {e2} / ID: {b}_{c})")
+    per = -(-len(edges) // n_lines)
+    for i in range(n_lines):
+        part = edges[i * per:(i + 1) * per]
+        if part:
+            lines.append(f"Subgraph_{i + 1}: Subgraph: " + ", ".join(part))
     return "\n".join(lines)
 
 
@@ -173,15 +248,16 @@ def instruction_examples(chunks: Sequence[str], rng: random.Random,
     (2-8 chunks' worth, capped at the refiner input limit) and op caps
     are dominated by the serve configuration (15 new triplets,
     config/tpu_llm_config.yaml) with the round-3 caps mixed in for
-    robustness."""
+    robustness.  Contexts are candidate-derived (round 5) so the targets
+    carry real merge / inter-chunk / prune operations."""
     t = _teacher()
     out: List[Example] = []
     for _ in range(n):
         cands = _candidates_from(chunks, rng, rng.randint(2, 8))
         if not cands:
             continue
-        empty = rng.random() < 0.4
-        ctx = ("" if empty else _subgraph_context(rng))
+        empty = rng.random() < 0.3
+        ctx = ("" if empty else _context_for_candidates(cands, rng))
         max_new = 15 if rng.random() < 0.7 else 10
         prompt = build_instruction_prompt(
             json.dumps(cands), ctx, max_new, 5, 4, 4,
