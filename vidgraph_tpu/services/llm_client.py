@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import re
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -805,6 +806,16 @@ class TPUChatClient(ChatClient):
             self._selector = AnswerSelector(
                 checkpoint_path=answer_selector_path,
                 mode=answer_selector_mode)
+        # round 5: grammar-constrained decoding (models/grammar.py) —
+        # every machine-parsed contract (pre-extraction lines, triplets
+        # JSON, 4-op refinement, judge) is byte-masked to its DFA, so an
+        # unparseable completion is structurally impossible (VERDICT r4
+        # next #1; ~14% of round-4 refinement calls fell back to
+        # dedupe-only).  One combined table => one compiled executable.
+        self._grammar = None
+        if os.environ.get("VIDGRAPH_NO_GRAMMAR", "") != "1":
+            from ..models.grammar import pipeline_grammar
+            self._grammar = pipeline_grammar()
 
     def _fit_prompt(self, prompt: str) -> str:
         return fit_prompt_bytes(prompt, self.max_prompt_bytes)
@@ -893,6 +904,17 @@ class TPUChatClient(ChatClient):
         for r, ids in enumerate(ids_list):
             toks[r, :len(ids)] = ids
             lens[r] = len(ids)
+        # per-row contract start states (FREE for filler rows): mixed
+        # batches share the one combined table / one executable
+        gkw = {}
+        starts = None
+        if self._grammar is not None:
+            from ..models.grammar import FREE
+            starts = np.full((b_pad,), FREE, np.int32)
+            for r, p in enumerate(prompts):
+                starts[r] = self._grammar.start_for_prompt(p)
+            gkw = {"grammar_trans": self._grammar.device_table(),
+                   "grammar_start": jnp.asarray(starts)}
         if self._decode_lock is None:
             self._decode_lock = threading.Lock()
         import time as _time
@@ -902,13 +924,19 @@ class TPUChatClient(ChatClient):
             with maybe_mesh(self._mesh):
                 out = generate_from_tokens(
                     self.params, self.cfg, jnp.asarray(toks),
-                    jnp.asarray(lens), max_new=max_new)
+                    jnp.asarray(lens), max_new=max_new, **gkw)
             out = np.asarray(out)
         t1 = _time.perf_counter()
         logger.info("decode dispatch b=%d(pad %d) t_pad=%d max_new=%d: "
                     "%.2fs (lock wait %.2fs)", b, b_pad, t_pad, max_new,
                     t1 - t0, t_lock - t0)
-        return [tokenizer.decode(out[r]) for r in range(b)]
+        texts = [tokenizer.decode(out[r]) for r in range(b)]
+        if self._grammar is not None:
+            # budget truncation is the one failure masking can't prevent
+            # (the scan length is static) — close the contract host-side
+            texts = [self._grammar.repair(t, int(starts[r]))
+                     for r, t in enumerate(texts)]
+        return texts
 
     def complete_sync(self, prompt: str, max_tokens: int = 2048) -> str:
         routed = self._try_selector(prompt)
