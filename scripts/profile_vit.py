@@ -62,6 +62,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=160)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--attn", action="store_true",
+                    help="compare attention impls (einsum/packed/fused) "
+                         "on the full fused step (round 5, VERDICT r4 "
+                         "next #6)")
     args = ap.parse_args()
 
     cfg = ViTConfig.b32()
@@ -142,11 +146,35 @@ def main() -> None:
     rows.append({"stage": "dispatch floor (trivial jit)",
                  "ms": round(dt * 1e3, 3)})
 
+    # attention implementation shootout on the FULL fused step ----------
+    attn_rows = []
+    if args.attn:
+        import dataclasses
+
+        ref_emb = None
+        for impl in ("einsum", "packed", "fused"):
+            icfg = dataclasses.replace(cfg, attn_impl=impl)
+            imodel = type(model)(icfg)
+            ifused = jax.jit(lambda p, f, m=imodel: m.apply(
+                p, preprocess_frames(f, size=cfg.image_size, fast=True)))
+            dt = timeit(ifused, params, frames, reps=reps)
+            emb = np.asarray(ifused(params, frames))
+            if ref_emb is None:
+                ref_emb = emb
+            drift = float(np.max(np.abs(emb - ref_emb)))
+            attn_rows.append({
+                "impl": impl,
+                "ms": round(dt * 1e3, 3),
+                "mfu": round((vit_flops + resize_flops) / dt / PEAK, 3),
+                "max_abs_drift_vs_einsum": round(drift, 6),
+            })
+
     print(json.dumps({
         "batch": B,
         "fused_ms": round(fused_ms, 2),
         "sum_parts_ms": round(pre_ms + tower_ms, 2),
         "stages": rows,
+        **({"attn_impls": attn_rows} if attn_rows else {}),
     }, indent=2))
 
 

@@ -31,6 +31,10 @@ class ViTConfig:
     embed_dim: int = 512          # output projection dim
     mlp_ratio: int = 4
     dtype: Any = jnp.bfloat16     # compute dtype
+    #: attention implementation: "einsum" (reference path), "packed"
+    #: (XLA head-pair packing), "fused" (Pallas QK^T+softmax+V kernel)
+    #: — all exact; see ops/short_attention.py for why N=50 wants this
+    attn_impl: str = "einsum"
 
     @property
     def num_patches(self) -> int:
@@ -61,12 +65,27 @@ class MHA(nn.Module):
         q = q.reshape(b, n, c.heads, hd)
         k = k.reshape(b, n, c.heads, hd)
         v = v.reshape(b, n, c.heads, hd)
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                         preferred_element_type=jnp.float32)
-        att = att / jnp.sqrt(hd).astype(att.dtype)
-        att = jax.nn.softmax(att, axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, v,
-                         preferred_element_type=jnp.float32)
+        impl = c.attn_impl if c.heads % 2 == 0 else "einsum"
+        if impl in ("packed", "fused"):
+            from ..ops.short_attention import (fused_short_attention,
+                                               packed_attention)
+            qh = jnp.swapaxes(q, 1, 2)       # [b, h, n, hd]
+            kh = jnp.swapaxes(k, 1, 2)
+            vh = jnp.swapaxes(v, 1, 2)
+            if impl == "fused":
+                oh = fused_short_attention(
+                    qh, kh, vh,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                oh = packed_attention(qh, kh, vh)
+            out = jnp.swapaxes(oh, 1, 2)
+        else:
+            att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                             preferred_element_type=jnp.float32)
+            att = att / jnp.sqrt(hd).astype(att.dtype)
+            att = jax.nn.softmax(att, axis=-1).astype(c.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", att, v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(b, n, d).astype(c.dtype)
         return nn.Dense(d, dtype=c.dtype, name="proj")(out)
 
