@@ -144,8 +144,22 @@ def main() -> None:
     # benchmark and reads low when queued work from other stages is live
     rt = _soft(_realtime_factor, 0.0)
     # north-star as ONE system (round 4): TPU captioner in the loop
-    ns = _soft(_realtime_tpu_captioner,
-               {"factor": None, "query_p50_ms": None, "coverage": None})
+    _ns_none = {"factor": None, "query_p50_ms": None, "coverage": None,
+                "extracted_triplets": None}
+    ns = _soft(_realtime_tpu_captioner, _ns_none)
+    # round 5: int8 captioner variant (VERDICT r4 next #3) and the FULL
+    # on-device stack — int8 1.2B captioner + trained instruct LM doing
+    # the KG extraction + live retrieval, all on one chip (next #4)
+    import os as _os
+    _ckpt = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          "checkpoints", "instruct_lm.npz")
+    ns_int8 = _soft(lambda: _realtime_tpu_captioner(quantize="int8"),
+                    _ns_none)
+    if _os.path.exists(_ckpt):
+        ns_full = _soft(lambda: _realtime_tpu_captioner(
+            quantize="int8", instruct_ckpt=_ckpt), _ns_none)
+    else:
+        ns_full = dict(_ns_none)
     # secondary: frames/sec/chip through preprocess + ViT-B/32 embed
     fps, vit_mfu = _soft(_frames_per_second, (0.0, 0.0))
     cap = _soft(_captioner_decode, {
@@ -181,6 +195,14 @@ def main() -> None:
         "realtime_8x30fps_tpu_captioner_factor": ns["factor"],
         "query_p50_under_load_ms": ns["query_p50_ms"],
         "tpu_captioner_coverage": ns["coverage"],
+        "realtime_8x30fps_tpu_captioner_int8_factor": ns_int8["factor"],
+        "tpu_captioner_int8_coverage": ns_int8["coverage"],
+        # FULL on-device stack: int8 1.2B captioner + 26M instruct LM
+        # (grammar-constrained extraction) + live retrieval on ONE chip
+        "realtime_8x30fps_full_stack_factor": ns_full["factor"],
+        "full_stack_query_p50_ms": ns_full["query_p50_ms"],
+        "full_stack_coverage": ns_full["coverage"],
+        "full_stack_extracted_triplets": ns_full["extracted_triplets"],
         # 200k-row store top-k: pipelined = 16-query batches with
         # overlapping dispatches (the serving number), blocking = one
         # batch fetched to host per call (includes full tunnel RTT) —
@@ -384,13 +406,21 @@ def _realtime_factor() -> float:
     return float(out["realtime_factor"] or 0.0)
 
 
-def _realtime_tpu_captioner() -> dict:
+def _realtime_tpu_captioner(quantize=None,
+                            instruct_ckpt: str = "") -> dict:
     """North-star scenario as ONE system (VERDICT r3 next #4): 8
-    concurrent 30 fps streams where the 1.2B bf16 TPU captioner produces
+    concurrent 30 fps streams where the 1.2B TPU captioner produces
     every caption (batched decode), KG extraction runs in the background
     on each caption, and online queries are served concurrently under
     load.  Emits the realtime factor, query p50 under load, and chunk
-    coverage."""
+    coverage.
+
+    Round 5 variants: ``quantize='int8'`` serves the captioner via the
+    weight-only int8 path (VERDICT r4 next #3); ``instruct_ckpt`` puts
+    the trained instruct LM in the KG-extraction role (TPUChatClient
+    with grammar-constrained decode) so ONE chip runs captioning (1.2B)
+    + extraction (26M) + retrieval concurrently — the full on-device
+    stack (VERDICT r4 next #4)."""
     import asyncio
 
     import jax.numpy as jnp
@@ -400,17 +430,26 @@ def _realtime_tpu_captioner() -> dict:
     from vidgraph_tpu.pipeline.pre_injector import PreLLMInjector
     from vidgraph_tpu.pipeline.prompts import build_pre_llm_prompt
     from vidgraph_tpu.services.embed_client import make_embed_client
-    from vidgraph_tpu.services.llm_client import LocalChatClient
+    from vidgraph_tpu.services.llm_client import (LocalChatClient,
+                                                  TPUChatClient)
     from vidgraph_tpu.services.vlm_client import TPUVLMClient
     from vidgraph_tpu.streams import RealtimeEngine, StreamSpec, simulate
 
     vlm = TPUVLMClient(cap_cfg=CaptionerConfig.large(), max_new=48,
-                       param_dtype=jnp.bfloat16)
-    chat = LocalChatClient()
+                       param_dtype=jnp.bfloat16, quantize=quantize)
+    if instruct_ckpt:
+        chat = TPUChatClient(checkpoint_path=instruct_ckpt,
+                             batch_wait_ms=40.0)
+    else:
+        chat = LocalChatClient()
     kg_triplets = []
 
     async def kg_extract(sid, cid, caption, label):
-        raw = await chat.complete(build_pre_llm_prompt(caption, 6))
+        # short pipe-line outputs: a 128-byte budget keeps the chat LM's
+        # decode scan off the captioner's critical path (grammar repair
+        # closes any truncation)
+        raw = await chat.complete(build_pre_llm_prompt(caption, 6),
+                                  max_tokens=128)
         kg_triplets.extend(PreLLMInjector.parse_pipe_delimited(raw, cid))
 
     def make_engine():
@@ -452,6 +491,7 @@ def _realtime_tpu_captioner() -> dict:
         "query_p50_ms": (round(float(out["query_p50_ms"]), 2)
                          if out["query_p50_ms"] is not None else None),
         "coverage": round(total_chunks / expected, 3),
+        "extracted_triplets": len(kg_triplets),
     }
 
 
