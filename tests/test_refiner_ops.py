@@ -216,3 +216,96 @@ class TestAppliedCounts:
         assert timings["ops_applied_merge"] == 0
         assert timings["ops_applied_prune"] == 0
         assert timings["ops_applied_inter"] == 0
+
+
+# ---------------------------------------------------------------- grounding
+class TestGroundingGuard:
+    """Round 5: with grounding_text, the LLM's new_triplets are an edit
+    suggestion — ungrounded triplets drop, dropped candidates restore."""
+
+    TEXT = ("Time: 00:00-00:05\nContent: A person wearing blue nitrile "
+            "gloves weighs a white powder in a glass beaker on the "
+            "Mettler Toledo balance.")
+
+    def _refine(self, reply, cands):
+        import asyncio
+
+        from vidgraph_tpu.core.config import ChunkingConfig
+        from vidgraph_tpu.pipeline.refiner import GlobalRefiner
+
+        class Chat:
+            async def complete(self, prompt, **kw):
+                return json.dumps(reply)
+
+        ref = GlobalRefiner(ChunkingConfig(), Chat())
+        return asyncio.run(ref.refine_triplets_instruction_based(
+            cands, subgraphs={"c": "Subgraph: (X / ID: 0_0)"},
+            grounding_text=self.TEXT))
+
+    def test_hallucinated_triplets_drop_candidates_restore(self):
+        cands = [{"head": "Blue Nitrile Gloves", "relation": "hold",
+                  "tail": "Glass Beaker", "source_chunks": ["u_0_0"]},
+                 {"head": "Balance", "relation": "weigh",
+                  "tail": "White Powder", "source_chunks": ["u_0_1"]}]
+        reply = {"new_triplets": [
+            ["Pink Gloves", "hold", "Turquoise Syringe", ["0_0"]],
+            ["Person", "wear", "Blue Nitrile Gloves", ["0_0"]]],
+            "inter_chunk_relations": [], "merge_instructions": [],
+            "prune_instructions": []}
+        ops = self._refine(reply, cands)
+        heads = [t[0] for t in ops["new_triplets"]]
+        assert "Pink Gloves" not in heads          # ungrounded: dropped
+        assert "Person" in heads                   # grounded LLM triplet kept
+        assert "Blue Nitrile Gloves" in heads      # dropped candidate restored
+        assert "Balance" in heads
+
+    def test_candidate_reemitted_by_llm_not_duplicated(self):
+        cands = [{"head": "Glass Beaker", "relation": "contain",
+                  "tail": "White Powder", "source_chunks": ["u_0_0"]}]
+        reply = {"new_triplets": [
+            ["Glass Beaker", "hold", "White Powder", ["0_0"]]],
+            "inter_chunk_relations": [], "merge_instructions": [],
+            "prune_instructions": []}
+        ops = self._refine(reply, cands)
+        # same (head, tail) pair: the LLM's consolidation wins, candidate
+        # is NOT restored alongside it
+        assert len(ops["new_triplets"]) == 1
+        assert ops["new_triplets"][0][1] == "hold"
+
+    def test_ungrounded_candidates_not_restored(self):
+        cands = [{"head": "Orange Gloves", "relation": "hold",
+                  "tail": "Glass Beaker", "source_chunks": ["u_0_0"]}]
+        reply = {"new_triplets": [], "inter_chunk_relations": [],
+                 "merge_instructions": [], "prune_instructions": []}
+        ops = self._refine(reply, cands)
+        assert ops["new_triplets"] == []   # pre-extraction hallucination too
+
+    def test_no_grounding_text_preserves_old_behavior(self):
+        import asyncio
+
+        from vidgraph_tpu.core.config import ChunkingConfig
+        from vidgraph_tpu.pipeline.refiner import GlobalRefiner
+
+        class Chat:
+            async def complete(self, prompt, **kw):
+                return json.dumps({"new_triplets": [
+                    ["Pink Gloves", "hold", "Turquoise Syringe", ["0_0"]]],
+                    "inter_chunk_relations": [], "merge_instructions": [],
+                    "prune_instructions": []})
+
+        ref = GlobalRefiner(ChunkingConfig(), Chat())
+        ops = asyncio.run(ref.refine_triplets_instruction_based(
+            [{"head": "A", "relation": "r", "tail": "B",
+              "source_chunks": []}],
+            subgraphs={"c": "Subgraph: (A / ID: 0_0)"}))
+        assert ops["new_triplets"] == [["Pink Gloves", "hold",
+                                        "Turquoise Syringe", ["0_0"]]]
+
+    def test_entity_grounded_tokens(self):
+        from vidgraph_tpu.pipeline.refiner import entity_grounded
+        text = self.TEXT.lower()
+        assert entity_grounded("Blue Nitrile Gloves", text)
+        assert entity_grounded("the balance", text)    # stopword skipped
+        assert not entity_grounded("Pink Gloves", text)
+        assert not entity_grounded("", text)
+        assert not entity_grounded("the", text)        # no content tokens

@@ -14,7 +14,6 @@ when ``saving_batch_metrics``).
 from __future__ import annotations
 
 import json
-import shutil
 import time
 import uuid as _uuid
 from pathlib import Path
@@ -107,9 +106,17 @@ class KGBuilder:
         logger.info("Starting KG construction from %s (uuid=%s)",
                     vlm_json_path, self.run_uuid)
         logs_dir = Path("logs")
-        if not resume:
-            if logs_dir.exists():
-                shutil.rmtree(logs_dir, ignore_errors=True)
+        if not resume and logs_dir.exists():
+            # Clear STALE INJECTION TRACES only.  rmtree of the whole dir
+            # (pre-round-5) unlinked every module's already-open FileHandler
+            # target, so the kg process's own file logs (refiner guard
+            # counts, parse warnings, store op applications) silently went
+            # to unlinked inodes for the rest of the run.
+            for stale in logs_dir.glob("injection_*.log"):
+                try:
+                    stale.unlink()
+                except OSError:
+                    pass
         logs_dir.mkdir(parents=True, exist_ok=True)
 
         with open(vlm_json_path) as f:
@@ -185,7 +192,8 @@ class KGBuilder:
             if self.config.llm_injector.subgraph_extraction_injection:
                 ops = await self.global_refiner \
                     .refine_triplets_instruction_based(
-                        pre_triplets, subgraphs, global_limit)
+                        pre_triplets, subgraphs, global_limit,
+                        grounding_text=aggregated)
                 triplets = GlobalRefiner.ops_to_triplets(ops, pre_triplets)
                 operations = ops
                 self._trace(trace_file, "REFINER OPERATIONS",

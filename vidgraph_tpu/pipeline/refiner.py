@@ -52,6 +52,78 @@ def _triplet_key(tr: Dict[str, Any]) -> str:
             f"{str(tr.get('tail', '')).lower()}")
 
 
+# words so generic that grounding on them carries no signal
+_GROUND_SKIP = frozenset(
+    "a an the and or of to in on at is are was were this that with for "
+    "from by as it its his her their then there here".split())
+
+
+def entity_grounded(name: Any, text_low: str) -> bool:
+    """True iff every content token of ``name`` occurs whole-word in the
+    (lower-cased) batch text.  'Blue Nitrile Gloves' grounds in a batch
+    that mentions blue nitrile gloves; 'Pink Gloves' does not unless the
+    text says pink."""
+    toks = [t for t in re.findall(r"[a-z0-9]+", str(name).lower())
+            if t not in _GROUND_SKIP]
+
+    def _tok_ok(t: str) -> bool:
+        # light morphology: pre-extraction canonicalises plurals/inflections
+        # ("Beaker" from a text that only says "beakers"), so accept
+        # whole-word matches of simple variants too
+        variants = {t, t + "s", t + "es", t + "ing", t + "ed"}
+        if len(t) > 4 and t.endswith("s"):
+            variants.add(t[:-1])
+        if len(t) > 4 and t.endswith("e"):
+            variants.update((t[:-1] + "ing", t + "d"))
+        return any(re.search(r"\b" + re.escape(v) + r"\b", text_low)
+                   for v in variants)
+
+    return bool(toks) and all(_tok_ok(t) for t in toks)
+
+
+def _pair_key(h: Any, t: Any) -> str:
+    return f"{str(h).lower().strip()}|{str(t).lower().strip()}"
+
+
+def _ground_new_triplets(new_triplets: List[Any],
+                         candidates: List[Dict[str, Any]],
+                         grounding_text: str,
+                         lm_cap: int) -> (List[Any], Dict[str, int]):
+    """Filter the LLM's new_triplets to text-grounded ones (capped at
+    ``lm_cap``) and append the grounded deduplicated candidates whose
+    (head, tail) pair the LLM did not re-emit.  Returns (triplets, stats)
+    with triplets in op-list form [head, relation, tail, sources]."""
+    text_low = grounding_text.lower()
+    kept: List[Any] = []
+    covered = set()
+    dropped = 0
+    for item in new_triplets:
+        if not isinstance(item, (list, tuple)) or len(item) < 3:
+            dropped += 1
+            continue
+        if len(kept) >= lm_cap:
+            break
+        if entity_grounded(item[0], text_low) and \
+                entity_grounded(item[2], text_low):
+            kept.append(list(item))
+            covered.add(_pair_key(item[0], item[2]))
+        else:
+            dropped += 1
+    restored = 0
+    for cand in candidates:
+        h, t = cand.get("head", ""), cand.get("tail", "")
+        if _pair_key(h, t) in covered:
+            continue
+        if not (entity_grounded(h, text_low)
+                and entity_grounded(t, text_low)):
+            continue
+        kept.append([h, cand.get("relation", ""), t,
+                     cand.get("source_chunks", [])])
+        restored += 1
+    return kept, {"lm_kept": len(kept) - restored, "lm_dropped": dropped,
+                  "restored": restored}
+
+
 class GlobalRefiner:
     def __init__(self, chunking_config: ChunkingConfig, chat_client) -> None:
         self.config = chunking_config
@@ -148,8 +220,23 @@ class GlobalRefiner:
             self, triplets: List[Dict[str, Any]],
             subgraphs: Optional[Dict[str, str]] = None,
             global_limit: int = 25,
+            grounding_text: str = "",
     ) -> Dict[str, Any]:
-        """Returns the parsed 4-op dict (possibly sanitised)."""
+        """Returns the parsed 4-op dict (possibly sanitised).
+
+        When ``grounding_text`` (the batch's raw caption text) is given,
+        the LLM's ``new_triplets`` are treated as an EDIT SUGGESTION, not
+        a wholesale replacement (round 5): a triplet survives only if every
+        content token of its head and tail appears in the batch text
+        (whole-word), and pre-extracted candidates the LLM dropped are
+        restored (grounded ones only).  A small on-device LM can emit
+        fluent-but-ungrounded triplets ("Pink Gloves" over a batch that
+        only ever shows blue nitrile gloves); without this the round-5
+        instruct LM collapsed the 215-chunk graph from ~600 real entities
+        to 269 partly-hallucinated ones and accuracy to 6/30.  The
+        deterministic teacher's outputs are grounded by construction, so
+        this is a no-op on the `backend.llm: local` path (verified by the
+        unchanged accuracy matrix)."""
         empty_ops = {"new_triplets": [], "inter_chunk_relations": [],
                      "merge_instructions": [], "prune_instructions": []}
         if not triplets:
@@ -218,9 +305,23 @@ class GlobalRefiner:
                                    "(%d items) to [] on empty context",
                                    k, len(ops[k]))
                     ops[k] = []
-        # enforce configured caps
-        ops["new_triplets"] = ops["new_triplets"][
-            :self.config.max_new_triplets]
+        # grounding guard (round 5): see docstring.  The guard applies the
+        # max_new_triplets cap to the surviving LLM triplets itself; the
+        # restored candidates are uncapped, mirroring the unparseable-
+        # output fallback above (which returns ALL deduped candidates).
+        if grounding_text:
+            ops["new_triplets"], stats = _ground_new_triplets(
+                ops["new_triplets"], self._deduplicate(capped),
+                grounding_text, self.config.max_new_triplets)
+            if stats["lm_dropped"] or stats["restored"]:
+                logger.info(
+                    "Grounding guard: kept %d LLM triplets, dropped %d "
+                    "ungrounded, restored %d candidates",
+                    stats["lm_kept"], stats["lm_dropped"],
+                    stats["restored"])
+        else:
+            ops["new_triplets"] = ops["new_triplets"][
+                :self.config.max_new_triplets]
         ops["inter_chunk_relations"] = ops["inter_chunk_relations"][
             :self.config.max_inter_chunk_relations]
         ops["merge_instructions"] = ops["merge_instructions"][
