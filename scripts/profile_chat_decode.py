@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--shapes", default="32,2048,128;32,512,128;32,512,64;"
                     "8,512,128;32,2048,64",
                     help="semicolon-separated b,t_pad,max_new triples")
+    ap.add_argument("--flash", action="store_true",
+                    help="use the Pallas flash prefill (serving path)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -67,14 +69,14 @@ def main() -> None:
         t0 = time.perf_counter()
         out = generate_from_tokens(params, cfg, jnp.asarray(toks),
                                    jnp.asarray(lens), max_new=max_new,
-                                   **gkw)
+                                   flash=args.flash, **gkw)
         np.asarray(out)                # fetch-to-host: the honest clock
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(args.reps):
             out = generate_from_tokens(params, cfg, jnp.asarray(toks),
                                        jnp.asarray(lens), max_new=max_new,
-                                       **gkw)
+                                       flash=args.flash, **gkw)
             np.asarray(out)
         dt = (time.perf_counter() - t0) / args.reps
         print(f"b={b:3d} t_pad={t_pad:5d} max_new={max_new:4d} "

@@ -882,6 +882,7 @@ class TPUChatClient(ChatClient):
         discarded here."""
         import threading
 
+        import jax
         import jax.numpy as jnp
         import numpy as np
 
@@ -916,17 +917,18 @@ class TPUChatClient(ChatClient):
         # (b_pad, t_pad, max_new) triple costs a 20-90 s remote compile
         # that the axon PJRT plugin never writes to the persistent cache
         # (each process pays every compile again).  Pin both pads to
-        # their serving maxima so a whole KG run compiles ~2 executables
-        # (extraction batch + single-prompt refinement) instead of ~10,
-        # which on a congested tunnel is the difference between
-        # 9 s/batch and 24 s/batch on the full reference workload.
+        # serving buckets so a whole KG run compiles ~3 executables
+        # (extraction batch + small batch + single-prompt refinement)
+        # instead of ~10, which on a congested tunnel is the difference
+        # between 9 s/batch and 24 s/batch on the full reference workload.
+        # Round 5 adds ONE small-batch bucket (b_pad 8): prefill FLOPs
+        # and per-step KV reads scale with b_pad, so padding the
+        # north-star's 8-caption extraction batches to 32 rows paid 4x
+        # on both for nothing.
         if t_pad <= self.SERVE_T_PAD <= cap:
             t_pad = self.SERVE_T_PAD
         if 1 < b_pad <= self.max_batch:
-            bm = 1
-            while bm < self.max_batch:
-                bm *= 2
-            b_pad = bm
+            b_pad = 8 if b_pad <= 8 else self.max_batch
         toks = np.full((b_pad, t_pad), tokenizer.PAD_ID, np.int32)
         # filler rows: prompt_len 0 marks them inert — they emit EOS
         # from step 0 (models/captioner.py::generate_from_tokens) and
@@ -950,6 +952,18 @@ class TPUChatClient(ChatClient):
                    "grammar_start": jnp.asarray(starts)}
         if self._decode_lock is None:
             self._decode_lock = threading.Lock()
+        # Flash prefill (round 5): at the pinned serving shape the einsum
+        # prefill materialises [B,h,T,T] f32 probabilities per layer
+        # (4.3 GB at 32x2048; 268 MB at 8x2048).  Measured at (8,2048,128)
+        # with device-resident weights: 0.265 s/dispatch flash vs 0.289 s
+        # einsum, outputs token-identical — a real but modest win here;
+        # the bulk of the old 2.66 s dispatch wall was host-numpy weights
+        # re-uploading per call (fixed in models/checkpoint.load_params).
+        # Single-chip TPU only (the mesh/tp path and CPU keep the einsum
+        # mask; numerics differ only in reduction order).
+        # VIDGRAPH_NO_FLASH_PREFILL=1 opts out.
+        flash = (jax.default_backend() == "tpu" and self._mesh is None
+                 and not os.environ.get("VIDGRAPH_NO_FLASH_PREFILL"))
         import time as _time
         t0 = _time.perf_counter()
         with self._decode_lock:            # the chip serves one decode at a time
@@ -957,7 +971,8 @@ class TPUChatClient(ChatClient):
             with maybe_mesh(self._mesh):
                 out = generate_from_tokens(
                     self.params, self.cfg, jnp.asarray(toks),
-                    jnp.asarray(lens), max_new=max_new, **gkw)
+                    jnp.asarray(lens), max_new=max_new, flash=flash,
+                    **gkw)
             out = np.asarray(out)
         t1 = _time.perf_counter()
         logger.info("decode dispatch b=%d(pad %d) t_pad=%d max_new=%d: "
