@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import random
 import re
 import shutil
@@ -63,14 +64,32 @@ class EpochRunner:
         self.config.setdefault("llm_injector", {})[
             "subgraph_extraction_injection"] = True
         # subprocess stages run with cwd=out_dir (so logs/metrics/graph_store
-        # land per-sweep); every path handed to them must be absolute
+        # land per-sweep); every path handed to them must be absolute —
+        # including model checkpoint paths the base config wrote relative
+        # to the launcher's cwd (config/tpu_llm_config.yaml points at
+        # checkpoints/instruct_lm.npz)
+        for section, key in (("llm_injector", "checkpoint_path"),
+                             ("llm_injector", "answer_selector_path"),
+                             ("vlm", "checkpoint_path")):
+            v = self.config.get(section, {}).get(key)
+            if v and not Path(v).is_absolute():
+                self.config[section][key] = str((Path.cwd() / v).resolve())
         self.config_path = self.out_dir / f"epoch_{epoch:03d}_config.yaml"
 
     def _cli(self, *cli_args: str, timeout: float) -> tuple[int, str]:
         cmd = [sys.executable, "-m", "vidgraph_tpu.cli.main", *cli_args]
+        # child stages must see the repo even when the launcher relied on
+        # this script's own sys.path bootstrap; APPEND to any existing
+        # PYTHONPATH (the environment preset points at the PJRT plugin's
+        # sitecustomize — clobbering it kills every jax subprocess)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            [str(REPO_ROOT)] + ([env["PYTHONPATH"]]
+                                if env.get("PYTHONPATH") else []))
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=timeout, cwd=str(self.out_dir))
+                                  timeout=timeout, cwd=str(self.out_dir),
+                                  env=env)
             return proc.returncode, proc.stdout + proc.stderr
         except subprocess.TimeoutExpired:
             return -1, "TIMEOUT"
