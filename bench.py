@@ -531,7 +531,12 @@ def _kg_tpu_llm_s_per_batch() -> float:
     # batches) is the end-to-end figure; this field is the steady rate.
     from vidgraph_tpu.services.llm_client import TPUChatClient
     warm = TPUChatClient(checkpoint_path=ckpt)
+    # both serving batch buckets (b_pad 8 and max_batch) — round 5's
+    # small-batch bucket means 2 prompts no longer warms the 32-row
+    # extraction executable
     warm.complete_batch_sync(["warm up the extraction shape"] * 2,
+                             max_tokens=512)
+    warm.complete_batch_sync(["warm up the extraction shape"] * 9,
                              max_tokens=512)
     warm.complete_batch_sync(["warm up the refinement shape"],
                              max_tokens=1024)
