@@ -72,3 +72,34 @@ def test_prune_module_main(tmp_path):
     out = tmp_path / "out.json"
     assert main(["--input", str(src), "--output", str(out)]) == 0
     assert out.exists()
+
+
+def test_chunk_timeout_widened_for_coalescing_clients():
+    """An in-process device client cannot be cancelled mid-dispatch, so
+    the per-chunk wall timeout must widen past worst-case remote compile
+    for ``coalesces_batches`` clients (and stay strict for HTTP ones)."""
+    from vidgraph_tpu.pipeline.pre_injector import PreLLMInjector
+
+    cfg = PipelineConfig()
+    cfg.chunking.chunk_timeout_seconds = 0.05
+    cfg.chunking.chunk_timeout_retries = 1
+
+    class SlowChat:
+        coalesces_batches = False
+
+        async def complete(self, prompt, temperature=0.0, max_tokens=2048):
+            await asyncio.sleep(0.2)
+            return "a | near | b"
+
+    inj = PreLLMInjector(cfg.chunking, cfg.llm_injector, cfg.embedder,
+                         SlowChat(), None)
+    trip, err = asyncio.run(inj._extract_chunk_triplets("text", "c0"))
+    assert trip == [] and "timeout" in err
+
+    class SlowCoalescingChat(SlowChat):
+        coalesces_batches = True
+
+    inj = PreLLMInjector(cfg.chunking, cfg.llm_injector, cfg.embedder,
+                         SlowCoalescingChat(), None)
+    trip, err = asyncio.run(inj._extract_chunk_triplets("text", "c0"))
+    assert err is None and len(trip) == 1

@@ -164,17 +164,29 @@ class PreLLMInjector:
         prompt = build_pre_llm_prompt(chunk_text,
                                       self.config.max_triplets_per_chunk)
         retries = max(1, self.config.chunk_timeout_retries)
+        # The wall timeout exists to bound HANGS of external HTTP servers
+        # (reference: src/components/pre_llm_injector.py chunk timeouts).
+        # An in-process device client cannot be cancelled mid-dispatch —
+        # asyncio.wait_for only abandons the awaiting coroutine while the
+        # decode thread runs to completion — so a first remote compile
+        # slower than the timeout fails EVERY chunk of the batch and then
+        # retries behind the same decode lock (measured: one congested
+        # 180 s+ compile cost a sweep epoch its first two batches).  For
+        # coalescing clients, widen the bound to cover worst-case remote
+        # compile; the work always completes and is otherwise discarded.
+        timeout_s = self.config.chunk_timeout_seconds
+        if getattr(self.chat, "coalesces_batches", False):
+            timeout_s = max(timeout_s, 600.0)
         last_err: Optional[str] = None
         for attempt in range(retries):
             try:
                 raw = await asyncio.wait_for(
                     self.chat.complete(prompt, temperature=0.05,
                                        max_tokens=512),
-                    timeout=self.config.chunk_timeout_seconds)
+                    timeout=timeout_s)
                 return self.parse_pipe_delimited(raw, chunk_id), None
             except asyncio.TimeoutError:
-                last_err = (f"timeout after "
-                            f"{self.config.chunk_timeout_seconds}s")
+                last_err = f"timeout after {timeout_s}s"
             except Exception as e:
                 last_err = str(e)
             logger.warning("Chunk %s attempt %d failed: %s", chunk_id,
