@@ -200,6 +200,101 @@ class TestAppliedCounts:
         assert ("Beaker", "CONTAINS", "Blue Liquid") not in store.rels
         assert ("Stirrer", "RESTS_IN", "Beaker") in store.rels
 
+    def test_near_miss_ops_resolve(self, store):
+        """The instruct LM emits near-miss names ('beaker', 'containing');
+        the store's resolution ladder grounds them to real objects instead
+        of silently dropping the op (round-5 fix: real runs applied 0 of
+        the LM's prunes).  Opt-in: LM chat backends only."""
+        store.resolve_op_names = True
+        batch = [{"time": "00:00-00:04", "content": "x"}]
+        trips = [{"head": "Beaker", "relation": "Contains",
+                  "tail": "Blue Liquid", "source_chunks": ["u_0_0"]},
+                 {"head": "Person", "relation": "Wears",
+                  "tail": "Nitrile Gloves", "source_chunks": ["u_0_0"]}]
+        store.add_batch_to_graph(trips, batch, 0)
+        ops = {"new_triplets": [],
+               "inter_chunk_relations": [
+                   ["person", "uses", "beaker", ["u_0_0"]]],
+               "merge_instructions": [],
+               "prune_instructions": [
+                   # case near-miss names + wrong verb form
+                   {"head": "beaker", "relation": "containing",
+                    "tail": "blue liquid"},
+                   # entity prune by case-insensitive match
+                   {"entity": "nitrile gloves"}]}
+        timings = store.add_batch_to_graph([], batch, 1, operations=ops)
+        assert timings["ops_applied_prune"] == 2
+        assert timings["ops_applied_inter"] == 1
+        assert ("Beaker", "CONTAINS", "Blue Liquid") not in store.rels
+        assert "Nitrile Gloves" not in store.entities
+        assert ("Person", "USES", "Beaker") in store.rels
+
+    def test_fuzzy_merge_resolves_plural(self, store):
+        store.resolve_op_names = True
+        batch = [{"time": "00:00-00:04", "content": "x"}]
+        trips = [{"head": "Glass Beaker", "relation": "holds",
+                  "tail": "Stirrer", "source_chunks": ["u_0_0"]},
+                 {"head": "Glass Beakers", "relation": "contains",
+                  "tail": "Liquid", "source_chunks": ["u_0_0"]}]
+        store.add_batch_to_graph(trips, batch, 0)
+        ops = {"new_triplets": [], "inter_chunk_relations": [],
+               "merge_instructions": [
+                   # 'glass beakers' != any exact name after lowering; the
+                   # fuzzy rung (>=0.9) must pick the plural store entity
+                   {"local": "glass beakers", "existing": "Glass Beaker",
+                    "existing_id": "0_0"}],
+               "prune_instructions": []}
+        timings = store.add_batch_to_graph([], batch, 1, operations=ops)
+        assert timings["ops_applied_merge"] == 1
+        assert "Glass Beakers" not in store.entities
+        assert ("Glass Beaker", "CONTAINS", "Liquid") in store.rels
+
+    def test_ambiguous_resolution_skips(self, store):
+        """Two store entities normalising identically -> the op must NOT
+        pick one arbitrarily."""
+        store.resolve_op_names = True
+        batch = [{"time": "00:00-00:04", "content": "x"}]
+        trips = [{"head": "Blue Glove", "relation": "near", "tail": "X",
+                  "source_chunks": ["u_0_0"]},
+                 {"head": "blue glove", "relation": "near", "tail": "Y",
+                  "source_chunks": ["u_0_0"]}]
+        store.add_batch_to_graph(trips, batch, 0)
+        ops = {"new_triplets": [], "inter_chunk_relations": [],
+               "merge_instructions": [],
+               "prune_instructions": [{"entity": "BLUE GLOVE"}]}
+        timings = store.add_batch_to_graph([], batch, 1, operations=ops)
+        assert timings["ops_applied_prune"] == 0
+        assert "Blue Glove" in store.entities
+        assert "blue glove" in store.entities
+
+    def test_resolution_off_by_default(self, store):
+        """Without the opt-in flag, near-miss names keep the reference's
+        exact-match semantics (skipped, not fuzzy-grounded) — the
+        deterministic teacher's stale ops must not re-ground."""
+        assert store.resolve_op_names is False
+        batch = [{"time": "00:00-00:04", "content": "x"}]
+        trips = [{"head": "Beaker", "relation": "Contains",
+                  "tail": "Blue Liquid", "source_chunks": ["u_0_0"]}]
+        store.add_batch_to_graph(trips, batch, 0)
+        ops = {"new_triplets": [], "inter_chunk_relations": [],
+               "merge_instructions": [],
+               "prune_instructions": [
+                   {"head": "beaker", "relation": "containing",
+                    "tail": "blue liquid"}]}
+        timings = store.add_batch_to_graph([], batch, 1, operations=ops)
+        assert timings["ops_applied_prune"] == 0
+        assert ("Beaker", "CONTAINS", "Blue Liquid") in store.rels
+
+    def test_open_graph_store_sets_flag_from_backend(self, tmp_path):
+        from vidgraph_tpu.core.config import PipelineConfig
+        from vidgraph_tpu.graph import open_graph_store
+        cfg = PipelineConfig()
+        cfg.graph_store.persist = False
+        cfg.backend.llm = "local"
+        assert open_graph_store(cfg, "t-flag-a").resolve_op_names is False
+        cfg.backend.llm = "tpu"
+        assert open_graph_store(cfg, "t-flag-b").resolve_op_names is True
+
     def test_unapplicable_ops_counted_as_zero(self, store):
         batch = [{"time": "00:00-00:04", "content": "x"}]
         trips = [{"head": "A", "relation": "near", "tail": "B",

@@ -16,6 +16,12 @@ def open_graph_store(config, graph_uuid: str,
             persist=gs.persist,
             dim=config.embedding_memory.dim,
             load_existing=load_existing,
+            # LM chat backends emit near-miss op names; ground them via
+            # the store's resolution ladder.  The deterministic local
+            # client emits exact names — keep reference exact-match
+            # semantics there (embedded.py::_resolve_entity).
+            resolve_op_names=getattr(config.backend, "llm", "local")
+            != "local",
         )
     if gs.backend == "neo4j":
         from .neo4j_backend import Neo4jGraphStore

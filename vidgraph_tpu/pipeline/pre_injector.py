@@ -28,6 +28,7 @@ from __future__ import annotations
 import asyncio
 import random
 import time
+import zlib
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -292,7 +293,12 @@ class PreLLMInjector:
                 else:
                     anchor = h if h in seed_set else t
                     external_by_seed.setdefault(anchor, []).append(key)
-        rng = rng or random.Random(hash(chunk_id) & 0xFFFFFFFF)
+        # seed from the uuid-free short id with a STABLE hash: builtin
+        # hash() is PYTHONHASHSEED-randomised per process, which made the
+        # sampled subgraph context (hence the whole deterministic build)
+        # vary run-to-run; the run uuid must not enter the seed either.
+        rng = rng or random.Random(
+            zlib.crc32(get_short_chunk_id(chunk_id).encode()))
         chosen = list(internal)
         for seed, rels in external_by_seed.items():
             if len(rels) <= max_conn:
