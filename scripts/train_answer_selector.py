@@ -249,6 +249,18 @@ def main() -> None:
                 best = {"loss": hl, "step": step,
                         "params": jax.tree_util.tree_map(
                             lambda x: np.asarray(x), params)}
+                # persist the running best so a machine reset (or a
+                # deadline-bounded run killed by PID) leaves a servable
+                # checkpoint behind — same contract as
+                # train_instruct_lm.py
+                save_params(best["params"], args.out)
+                Path(args.out).with_suffix(".json").write_text(json.dumps(
+                    {"selector_cfg": {
+                        "width": cfg.width, "layers": cfg.layers,
+                        "heads": cfg.heads, "max_len": cfg.max_len,
+                        "query_budget": cfg.query_budget},
+                     "steps": args.steps, "held_loss": hl,
+                     "held_best_step": step, "partial": True}))
 
     if best["params"] is not None and best["step"] < args.steps - 1:
         print(f"early-stop pick: step {best['step']} "
