@@ -140,3 +140,20 @@ def test_local_chat_client_routes_answer_prompts_to_selector(tmp_path):
     # default construction (no selector) keeps the deterministic answerer
     base = LocalChatClient().complete_sync(prompt)
     assert base.endswith(".")
+
+
+def test_missing_selector_checkpoint_degrades_softly(tmp_path, caplog):
+    """A configured-but-absent selector checkpoint (checkpoints/ is
+    gitignored and wiped by VM resets) must not crash client
+    construction: it warns and falls back to the untrained answer path
+    (services/llm_client.py::_load_selector, §5.3 degradation ladder)."""
+    from vidgraph_tpu.services.llm_client import make_chat_client
+
+    missing = str(tmp_path / "nope" / "answer_selector.npz")
+    client = make_chat_client("local", answer_selector_path=missing)
+    assert client._selector is None
+    # the deterministic answer path still works
+    prompt = ("Answer the question using the retrieved context.\n"
+              f"CONTEXT: {CTX}\nQUESTION: what color is the beaker?\n"
+              "CONCISE ANSWER:")
+    assert isinstance(client.complete_sync(prompt), str)
